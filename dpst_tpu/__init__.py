@@ -1,0 +1,19 @@
+"""dpst_tpu — TPU-native automated deep photo style transfer.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+aRI0U/automated-deep-photo-style-transfer (see SURVEY.md): content/style
+photo in, photorealistic stylized photo out, with automatic semantic
+segmentation masks, a matrix-free Pallas matting-Laplacian photorealism
+term, NIMA-based style-weight auto-tuning, and the full optimization loop
+running device-side.
+
+Public surface:
+    stylize(content, style, config=StylizeConfig(...)) -> np.ndarray
+    StylizeConfig — all knobs (mirrors the reference CLI flag semantics)
+    PRESETS — BASELINE.json configs 1-5
+"""
+from .api import prepare_constants, stylize
+from .config import PRESETS, StylizeConfig
+
+__all__ = ["stylize", "prepare_constants", "StylizeConfig", "PRESETS"]
+__version__ = "0.1.0"

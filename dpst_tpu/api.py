@@ -1,0 +1,161 @@
+"""Public API: `stylize(content, style, config=...) -> image`.
+
+The parity surface of the reference pipeline (SURVEY.md §3.1 call stack):
+load → segment → merge → Laplacian precompute → (multi-scale) optimize →
+result. Everything device-side is jitted; per-pair precompute happens once
+and is passed to the scan'd optimizer loop as traced constants.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import optimize, segmentation
+from .config import StylizeConfig
+from .models import vgg
+from .ops import laplacian as lap
+from .ops import losses as losses_mod
+from .ops.resize import downsample_mask, resize_image
+from .utils import io
+
+
+def prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
+                      content_masks: jnp.ndarray, style_masks: jnp.ndarray,
+                      cfg: StylizeConfig, vgg_params: dict
+                      ) -> optimize.StylizeConstants:
+    """Precompute everything the optimizer loop consumes (once per scale):
+    content features, per-class masked style Grams, content mask pyramid,
+    coverage weights, matting-Laplacian window stats."""
+    content = jnp.asarray(content, jnp.float32)
+    style = jnp.asarray(style, jnp.float32)
+
+    content_feats = vgg.extract_features(
+        vgg_params, content, cfg.content_layers,
+        pooling=cfg.pooling, compute_dtype=cfg.compute_dtype)
+    content_feats = {k: jnp.asarray(v) for k, v in content_feats.items()}
+
+    style_feats = vgg.extract_features(
+        vgg_params, style, cfg.style_layers,
+        pooling=cfg.pooling, compute_dtype=cfg.compute_dtype)
+
+    smask_pyr = segmentation.layer_masks(
+        style_masks, cfg.style_layers, cfg.mask_downsample)
+    style_grams = {}
+    for layer in cfg.style_layers:
+        feats = style_feats[layer]
+        grams = [losses_mod.masked_gram(feats, smask_pyr[layer][k])
+                 for k in range(smask_pyr[layer].shape[0])]
+        style_grams[layer] = jnp.stack(grams)
+
+    cmask_pyr = segmentation.layer_masks(
+        content_masks, cfg.style_layers, cfg.mask_downsample)
+    coverage = segmentation.coverage_weights(content_masks)
+
+    lap_stats = None
+    if cfg.use_photorealism:
+        lap_stats = lap.precompute_stats(
+            content * (1.0 / 255.0), eps=cfg.matting_epsilon)
+
+    return optimize.StylizeConstants(
+        content_feats=content_feats, style_grams=style_grams,
+        masks=cmask_pyr, coverage=coverage, lap_stats=lap_stats)
+
+
+def _fit_masks(masks: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """Resize a (K, H, W) mask stack to the working resolution if needed
+    (external masks may come at the images' original sizes)."""
+    if masks.shape[1:] == tuple(hw):
+        return masks
+    resized = resize_image(jnp.asarray(masks)[..., None], hw)[..., 0]
+    return np.asarray(jnp.clip(resized, 0.0, 1.0))
+
+
+def _scale_schedule(cfg: StylizeConfig, hw: tuple[int, int]
+                    ) -> list[tuple[int, int, int]]:
+    """[(H, W, iters)] per stage. () scales → single stage at native size."""
+    if not cfg.scales:
+        return [(hw[0], hw[1], cfg.iterations)]
+    stages = []
+    n = len(cfg.scales)
+    for i, s in enumerate(cfg.scales):
+        scale = s / max(hw)
+        h = max(8, int(round(hw[0] * scale / 8.0)) * 8)
+        w = max(8, int(round(hw[1] * scale / 8.0)) * 8)
+        iters = max(1, int(round(
+            cfg.iterations * cfg.scale_iter_factor ** (n - 1 - i))))
+        stages.append((h, w, iters))
+    return stages
+
+
+def stylize(content, style, config: StylizeConfig | None = None, *,
+            size: int | tuple[int, int] | None = None,
+            content_masks: np.ndarray | None = None,
+            style_masks: np.ndarray | None = None,
+            vgg_params: dict | None = None,
+            seg_params=None,
+            callback: Callable | None = None,
+            return_history: bool = False):
+    """Stylize `content` with the style of `style` (paths or HWC arrays).
+
+    Mirrors the reference entry point (SURVEY.md §2 comp.1): automatic
+    segmentation masks unless `content_masks`/`style_masks` (K, H, W) are
+    given; `size` sets the working resolution of the content image (style
+    is resized to match). Returns a float32 [0,255] RGB np.ndarray
+    (and the (iters, 5) loss history if `return_history`).
+    """
+    cfg = config or StylizeConfig()
+    content_np = io.load_image(content, size)
+    hw = content_np.shape[:2]
+    style_np = io.load_image(style, hw)
+
+    if content_masks is None or style_masks is None:
+        if cfg.use_segmentation:
+            content_masks, style_masks, _ = segmentation.automatic_masks(
+                content_np, style_np, cfg, seg_params)
+        else:
+            content_masks = segmentation.uniform_masks(hw)
+            style_masks = segmentation.uniform_masks(style_np.shape[:2])
+    content_masks = _fit_masks(np.asarray(content_masks, np.float32), hw)
+    style_masks = _fit_masks(np.asarray(style_masks, np.float32),
+                             style_np.shape[:2])
+
+    if vgg_params is None:
+        vgg_params = vgg.get_params(seed=cfg.seed)
+    weights = optimize.LossWeights.from_config(cfg)
+
+    content_full = jnp.asarray(content_np)
+    style_full = jnp.asarray(style_np)
+    cmask_full = jnp.asarray(content_masks)
+    smask_full = jnp.asarray(style_masks)
+
+    image = None
+    history = []
+    for (h, w, iters) in _scale_schedule(cfg, hw):
+        if (h, w) == tuple(content_full.shape[:2]):
+            content_s, style_s = content_full, style_full
+            cmask_s, smask_s = cmask_full, smask_full
+        else:
+            content_s = resize_image(content_full, (h, w))
+            style_s = resize_image(style_full, (h, w))
+            cmask_s = resize_image(
+                cmask_full[..., None], (h, w))[..., 0]
+            smask_s = resize_image(
+                smask_full[..., None], (h, w))[..., 0]
+        consts = prepare_constants(
+            content_s, style_s, cmask_s, smask_s, cfg, vgg_params)
+        if image is None:
+            style_mean = jnp.mean(style_s, axis=(0, 1), keepdims=True)
+            image = optimize.init_image(cfg, content_s, style_mean)
+        else:
+            image = jnp.clip(resize_image(image, (h, w)), 0.0, 255.0)
+        image, hist = optimize.run(
+            image, consts, weights, vgg_params, cfg, iterations=iters,
+            callback=callback)
+        history.append(hist)
+
+    result = np.asarray(jnp.clip(image, 0.0, 255.0))
+    if return_history:
+        return result, np.concatenate([np.asarray(h) for h in history])
+    return result

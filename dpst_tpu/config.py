@@ -1,0 +1,105 @@
+"""Configuration for the TPU-native automated deep photo style transfer pipeline.
+
+Mirrors the flag semantics of the reference CLI (SURVEY.md §5 "Config / flag
+system": content/style weights, similarity metric + threshold, iteration count,
+intermediate interval, init mode) as a frozen, hashable dataclass so it can be
+passed as a jit-static argument.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StylizeConfig:
+    """All knobs for one stylization run.
+
+    Weight semantics follow the reference (SURVEY.md §2 comp.10):
+    total loss = content_weight * L_content
+               + style_weight   * L_style      (Γ — the auto-tuned knob)
+               + regularization_weight * L_photoreal
+               + tv_weight * L_tv
+    """
+
+    # --- loss weights -----------------------------------------------------
+    content_weight: float = 1.0
+    style_weight: float = 100.0          # Γ in the paper; NIMA-tuned when auto
+    regularization_weight: float = 1e4   # λ on the matting-Laplacian term
+    tv_weight: float = 0.0               # optional total-variation smoothing
+
+    # --- optimization -----------------------------------------------------
+    iterations: int = 500
+    optimizer: str = "adam"              # "adam" | "lbfgs"
+    learning_rate: float = 2.0           # Adam on raw [0,255] pixels
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    init_mode: str = "content"           # "content" | "noise" | "style_mean"
+    init_noise_scale: float = 50.0       # stddev when init_mode == "noise"
+    clip_pixels: bool = True             # project to [0,255] every step
+    seed: int = 0
+
+    # --- multi-scale schedule (SURVEY.md §7 step 5) -----------------------
+    # () disables; e.g. (256, 512, 1024) runs coarse-to-fine, upsampling the
+    # running output between scales. `iterations` applies to the final scale;
+    # earlier scales run `iterations * scale_iter_factor ** (n_remaining)`.
+    scales: Tuple[int, ...] = ()
+    scale_iter_factor: float = 1.0
+
+    # --- VGG feature extraction ------------------------------------------
+    style_layers: Tuple[str, ...] = (
+        "conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1")
+    content_layers: Tuple[str, ...] = ("conv4_2",)
+    style_layer_weights: Tuple[float, ...] = (0.2, 0.2, 0.2, 0.2, 0.2)
+    pooling: str = "max"                 # "max" | "avg"
+    compute_dtype: str = "bfloat16"      # conv compute dtype on TPU
+    # fp32 accumulation is always used (preferred_element_type)
+
+    # --- segmentation / masks --------------------------------------------
+    use_segmentation: bool = True
+    max_classes: int = 8                 # pad merged classes to a static count
+    similarity_metric: str = "grouped"   # "grouped" | "token" | "combined"
+    similarity_threshold: float = 0.25   # below → fall back to global merge
+    mask_downsample: str = "avg"         # "avg" | "nearest" per VGG layer
+
+    # --- matting Laplacian (photorealism) ---------------------------------
+    use_photorealism: bool = True
+    matting_epsilon: float = 1e-5        # ε in Levin's closed-form matting
+    laplacian_impl: str = "auto"         # "auto" | "pallas" | "xla"
+
+    # --- checkpointing / observability ------------------------------------
+    intermediate_interval: int = 100     # save every k iters (0 = off)
+    checkpoint_dir: str = ""             # orbax checkpoints; "" = disabled
+    profile_dir: str = ""                # jax.profiler trace; "" = disabled
+    debug_nans: bool = False
+
+    def __post_init__(self):
+        if len(self.style_layer_weights) != len(self.style_layers):
+            raise ValueError(
+                "style_layer_weights must match style_layers: "
+                f"{len(self.style_layer_weights)} vs {len(self.style_layers)}")
+        if self.optimizer not in ("adam", "lbfgs"):
+            raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        if self.init_mode not in ("content", "noise", "style_mean"):
+            raise ValueError(f"unknown init_mode {self.init_mode!r}")
+        if self.pooling not in ("max", "avg"):
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+        if self.laplacian_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown laplacian_impl {self.laplacian_impl!r}")
+
+
+# Named presets matching BASELINE.json configs 1-5.
+PRESETS = {
+    "config1": StylizeConfig(  # 256² content + Gram style only, CPU-runnable
+        use_segmentation=False, use_photorealism=False,
+        iterations=300, compute_dtype="float32"),
+    "config2": StylizeConfig(  # 512² with automatic segmentation masks
+        use_photorealism=False, iterations=500),
+    "config3": StylizeConfig(  # 512² full deep-photo w/ Pallas Laplacian
+        iterations=500),
+    "config4": StylizeConfig(  # 1024² multi-scale coarse-to-fine
+        iterations=300, scales=(256, 512, 1024), scale_iter_factor=1.0),
+    "config5": StylizeConfig(  # batched 8-pair sharded stylization
+        iterations=500),
+}

@@ -1,0 +1,158 @@
+"""From-scratch VGG-19 feature extractor (jnp/XLA, NHWC, TPU-first).
+
+TPU-native rebuild of the reference's VGG-19 feature tap network
+(SURVEY.md §2 comp.2): forward pass to the post-ReLU activations of
+conv1_1, conv2_1, conv3_1, conv4_1, conv5_1 (style) and conv4_2 (content),
+with Caffe-style BGR + ImageNet-mean preprocessing.
+
+Design notes (tpu-first, not a port):
+  * pure functional params-dict + jnp ops — jit/vmap/grad compose freely;
+  * convs run in a configurable compute dtype (bfloat16 by default on TPU)
+    with fp32 accumulation via `preferred_element_type`, so the MXU does the
+    FLOPs at full rate while feature/loss math stays fp32-accurate;
+  * the stack is truncated at the deepest requested tap — conv5_2..conv5_4
+    and pool5 are never built, saving ~15% of forward FLOPs;
+  * weights: ImageNet `.npz` bundle if present (tools/convert_vgg.py),
+    otherwise deterministic He-init from a fixed seed (documented weight-drop
+    path — this environment has no network access; SURVEY.md §7 risks).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG-19 convolutional topology: block -> (num convs, out channels).
+VGG19_BLOCKS = ((2, 64), (2, 128), (4, 256), (4, 512), (4, 512))
+
+# Canonical layer order, e.g. conv1_1, conv1_2, pool1, conv2_1, ...
+LAYER_ORDER: tuple[str, ...] = tuple(
+    name
+    for b, (n, _) in enumerate(VGG19_BLOCKS, start=1)
+    for name in [f"conv{b}_{i}" for i in range(1, n + 1)] + [f"pool{b}"]
+)
+
+CONV_SHAPES: dict[str, tuple[int, int]] = {}
+_in_ch = 3
+for _b, (_n, _out) in enumerate(VGG19_BLOCKS, start=1):
+    for _i in range(1, _n + 1):
+        CONV_SHAPES[f"conv{_b}_{_i}"] = (_in_ch, _out)
+        _in_ch = _out
+
+# Caffe/ImageNet channel means in BGR order (reference preprocessing).
+BGR_MEANS = (103.939, 116.779, 123.68)
+
+_DN = jax.lax.conv_dimension_numbers(
+    (1, 8, 8, 3), (3, 3, 3, 64), ("NHWC", "HWIO", "NHWC"))
+
+
+def init_params(seed: int = 0, dtype=jnp.float32) -> dict:
+    """Deterministic He-normal init of all 16 conv layers."""
+    key = jax.random.PRNGKey(seed)
+    params = {}
+    for name, (cin, cout) in CONV_SHAPES.items():
+        key, kw = jax.random.split(key)
+        fan_in = 3 * 3 * cin
+        w = jax.random.normal(kw, (3, 3, cin, cout), dtype) * jnp.sqrt(
+            2.0 / fan_in)
+        params[name] = {"w": w, "b": jnp.zeros((cout,), dtype)}
+    return params
+
+
+def load_params(path: str) -> dict:
+    """Load a `.npz` weight bundle: keys `<layer>_w` (3,3,Cin,Cout) HWIO and
+    `<layer>_b` (Cout,). Produced by tools/convert_vgg.py from torch/Keras
+    checkpoints."""
+    data = np.load(path)
+    params = {}
+    for name, (cin, cout) in CONV_SHAPES.items():
+        w = jnp.asarray(data[f"{name}_w"], jnp.float32)
+        b = jnp.asarray(data[f"{name}_b"], jnp.float32)
+        if w.shape != (3, 3, cin, cout):
+            raise ValueError(f"{name}: bad weight shape {w.shape}")
+        params[name] = {"w": w, "b": b}
+    return params
+
+
+def get_params(weights_path: str | None = None, seed: int = 0) -> dict:
+    """ImageNet weights if a bundle exists, else deterministic random init."""
+    if weights_path is None:
+        weights_path = os.environ.get(
+            "DPST_VGG_WEIGHTS",
+            os.path.join(os.path.dirname(__file__), "..", "..", "weights",
+                         "vgg19.npz"))
+    if weights_path and os.path.exists(weights_path):
+        return load_params(weights_path)
+    return init_params(seed)
+
+
+def preprocess(image: jnp.ndarray) -> jnp.ndarray:
+    """[0,255] RGB -> mean-subtracted BGR (Caffe convention)."""
+    bgr = image[..., ::-1]
+    return bgr - jnp.asarray(BGR_MEANS, image.dtype)
+
+
+def _pool(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "max":
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    # average pooling (Gatys-style alternative)
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return s * 0.25
+
+
+@partial(jax.jit, static_argnames=("layers", "pooling", "compute_dtype"))
+def extract_features(params: dict, image: jnp.ndarray,
+                     layers: tuple[str, ...],
+                     pooling: str = "max",
+                     compute_dtype: str = "float32") -> dict:
+    """Run VGG-19 up to the deepest layer in `layers`.
+
+    Args:
+      params: conv weights (see init_params).
+      image: (H, W, 3) or (B, H, W, 3) float, RGB in [0, 255].
+      layers: tap names, e.g. ("conv1_1", ..., "conv4_2"); post-ReLU
+        activations are returned.
+      pooling: "max" | "avg".
+      compute_dtype: dtype convs run in; accumulation is always fp32.
+
+    Returns: {layer: (B, H_l, W_l, C_l) float32}; batch dim added if absent.
+    """
+    squeeze = image.ndim == 3
+    if squeeze:
+        image = image[None]
+    cdt = jnp.dtype(compute_dtype)
+    x = preprocess(image.astype(jnp.float32)).astype(cdt)
+
+    deepest = max(LAYER_ORDER.index(l) for l in layers)
+    taps = {}
+    for idx, name in enumerate(LAYER_ORDER):
+        if idx > deepest:
+            break
+        if name.startswith("pool"):
+            x = _pool(x, pooling)
+            continue
+        p = params[name]
+        # Uniform compute dtype end-to-end: the TPU MXU accumulates bf16
+        # convs in fp32 internally regardless, and a mixed-dtype conv
+        # (bf16 operands, fp32 preferred_element_type) has no transpose
+        # rule in JAX — it would break the VJP the optimizer loop needs.
+        x = jax.lax.conv_general_dilated(
+            x, p["w"].astype(cdt), (1, 1), "SAME",
+            dimension_numbers=_DN, preferred_element_type=cdt)
+        x = x + p["b"].astype(cdt)
+        x = jnp.maximum(x, 0.0)
+        if name in layers:
+            tap = x.astype(jnp.float32)
+            taps[name] = tap[0] if squeeze else tap
+    return taps
+
+
+def layer_downsample_factor(layer: str) -> int:
+    """Spatial stride of `layer` relative to the input (for mask pyramids)."""
+    block = int(layer[4])
+    return 2 ** (block - 1)

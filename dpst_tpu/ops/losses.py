@@ -1,0 +1,97 @@
+"""Loss terms: content, (masked) Gram style, total variation.
+
+TPU-native rebuild of the reference's loss construction layer
+(SURVEY.md §2 comps. 3-4; paper eqs. 1, 3-4 of arXiv:1703.07511):
+  * content loss — ½·mean‖F_l[O] − F_l[C]‖² at the content tap(s);
+  * style loss — per merged semantic class c and style layer l, the Gram
+    matrix of mask-weighted features, compared between output and style;
+  * optional total-variation smoothing.
+
+Design notes (tpu-first):
+  * Grams are computed as one (P,C)ᵀ(P,C) matmul per class — a dense MXU op;
+    the per-class loop is a `lax.scan` so only ONE masked feature copy is
+    live at a time (K·H·W·C never materializes);
+  * everything is shape-static: masks are padded to `max_classes` with
+    all-zero rows, which contribute exactly 0 loss (zero coverage weight);
+  * all accumulation in fp32 regardless of the conv compute dtype.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def content_loss(feat_out: jnp.ndarray, feat_content: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """½·mean squared feature difference (paper eq. 1, normalized)."""
+    d = feat_out.astype(jnp.float32) - feat_content.astype(jnp.float32)
+    return 0.5 * jnp.mean(d * d)
+
+
+def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
+    """Pixel-normalized Gram: (H, W, C) -> (C, C), G = FᵀF / P."""
+    h, w, c = feat.shape
+    f = feat.reshape(h * w, c).astype(jnp.float32)
+    g = jnp.dot(f.T, f, preferred_element_type=jnp.float32)
+    return g / jnp.float32(h * w)
+
+
+def masked_gram(feat: jnp.ndarray, mask: jnp.ndarray,
+                eps: float = 1e-8) -> jnp.ndarray:
+    """Gram of mask-weighted features, normalized by effective pixel count.
+
+    feat: (H, W, C); mask: (H, W) soft in [0,1].
+    G = (M∘F)ᵀ(M∘F) / max(Σ m², eps)  — an all-zero mask yields G = 0.
+    """
+    h, w, c = feat.shape
+    fm = (feat.astype(jnp.float32) * mask[..., None]).reshape(h * w, c)
+    g = jnp.dot(fm.T, fm, preferred_element_type=jnp.float32)
+    n = jnp.sum(mask * mask)
+    return g / jnp.maximum(n, eps)
+
+
+def style_layer_loss(feat_out: jnp.ndarray,
+                     style_grams: jnp.ndarray,
+                     out_masks: jnp.ndarray,
+                     coverage: jnp.ndarray) -> jnp.ndarray:
+    """Masked Gram style loss for one VGG layer, summed over classes.
+
+    feat_out:    (H, W, C) output-image features at this layer.
+    style_grams: (K, C, C) precomputed masked Grams of the STYLE image.
+    out_masks:   (K, H, W) content-image masks at this layer's resolution
+                 (the output is spatially aligned with the content image).
+    coverage:    (K,) per-class weights (content-mask coverage fractions);
+                 zero rows of padding carry zero coverage → zero loss.
+
+    Per class: coverage_k / (4 C²) · Σ (G_out,k − G_style,k)²   (Gatys
+    normalization with pixel-normalized Grams; paper eqs. 3-4).
+    """
+    c = feat_out.shape[-1]
+    scale = 1.0 / (4.0 * c * c)
+
+    def body(acc, inp):
+        g_s, m, r = inp
+        g_o = masked_gram(feat_out, m)
+        d = g_o - g_s
+        return acc + r * scale * jnp.sum(d * d), None
+
+    total, _ = jax.lax.scan(
+        body, jnp.float32(0.0), (style_grams, out_masks, coverage))
+    return total
+
+
+def style_loss(feats_out: dict, style_grams: dict, out_masks: dict,
+               coverage: jnp.ndarray, layer_weights: dict) -> jnp.ndarray:
+    """Sum of per-layer masked style losses, weighted per layer."""
+    total = jnp.float32(0.0)
+    for layer, w in layer_weights.items():
+        total = total + w * style_layer_loss(
+            feats_out[layer], style_grams[layer], out_masks[layer], coverage)
+    return total
+
+
+def tv_loss(image: jnp.ndarray) -> jnp.ndarray:
+    """Anisotropic total variation on an (H, W, 3) image (mean-normalized)."""
+    dh = image[1:, :, :] - image[:-1, :, :]
+    dw = image[:, 1:, :] - image[:, :-1, :]
+    return jnp.mean(dh * dh) + jnp.mean(dw * dw)

@@ -1,0 +1,65 @@
+"""Dense/CSR matting-Laplacian oracle (numpy/scipy, host-side, test-only).
+
+Direct implementation of Levin's closed-form matting Laplacian exactly as
+the reference builds it on CPU (SURVEY.md §2 comp.6): assemble the sparse
+N×N matrix entry by entry. Used ONLY to validate the matrix-free TPU
+operator in `laplacian.py` / `laplacian_pallas.py` — never on the hot path.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+WIN_RAD = 1
+WIN = (2 * WIN_RAD + 1) ** 2  # 9
+
+
+def build_laplacian_csr(image01: np.ndarray, eps: float = 1e-5
+                        ) -> sp.csr_matrix:
+    """L as an (H·W)×(H·W) CSR matrix from an (H, W, 3) image in [0, 1].
+
+    Interior 3×3 windows only; per window k:
+      W_k[i,j] = δ_ij − (1/9)·(1 + (I_i−μ_k)ᵀ (Σ_k + ε/9·Id)⁻¹ (I_j−μ_k)).
+    """
+    img = np.asarray(image01, dtype=np.float64)
+    h, w, c = img.shape
+    assert c == 3
+    n = h * w
+    idx = np.arange(n).reshape(h, w)
+
+    rows, cols, vals = [], [], []
+    eye = np.eye(3)
+    for cy in range(WIN_RAD, h - WIN_RAD):
+        for cx in range(WIN_RAD, w - WIN_RAD):
+            win_idx = idx[cy - WIN_RAD:cy + WIN_RAD + 1,
+                          cx - WIN_RAD:cx + WIN_RAD + 1].ravel()
+            win_i = img[cy - WIN_RAD:cy + WIN_RAD + 1,
+                        cx - WIN_RAD:cx + WIN_RAD + 1].reshape(WIN, 3)
+            mu = win_i.mean(axis=0)
+            cov = (win_i.T @ win_i) / WIN - np.outer(mu, mu)
+            lam = np.linalg.inv(cov + (eps / WIN) * eye)
+            d = win_i - mu  # (9, 3)
+            wk = np.eye(WIN) - (1.0 / WIN) * (1.0 + d @ lam @ d.T)
+            rows.append(np.repeat(win_idx, WIN))
+            cols.append(np.tile(win_idx, WIN))
+            vals.append(wk.ravel())
+
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.concatenate(vals)
+    lap = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    return lap
+
+
+def matvec_oracle(image01: np.ndarray, v: np.ndarray,
+                  eps: float = 1e-5) -> np.ndarray:
+    """y = L·v via the CSR oracle. v: (H, W) or (H, W, C)."""
+    h, w = image01.shape[:2]
+    lap = build_laplacian_csr(image01, eps)
+    if v.ndim == 2:
+        return (lap @ v.reshape(-1)).reshape(h, w)
+    c = v.shape[-1]
+    out = np.stack(
+        [(lap @ v[..., i].reshape(-1)).reshape(h, w) for i in range(c)],
+        axis=-1)
+    return out

@@ -1,0 +1,187 @@
+"""Device-side image optimization loop (the hot path).
+
+TPU-native rebuild of the reference's optimization core (SURVEY.md §2
+comp.10, §3.2): where the reference drives TF 1.x with one host
+`session.run` per Adam step, here the ENTIRE loop — VGG forward, loss
+assembly, gradients, optimizer update, pixel projection — is a single
+`lax.scan` body compiled once by XLA. Host round-trips per step: zero.
+The per-step loss history comes back as a stacked array for free (it lives
+in the scan carry outputs, no host sync until the user looks at it).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import StylizeConfig
+from .models import vgg
+from .ops import laplacian as lap
+from .ops import losses
+
+HISTORY_TERMS = ("total", "content", "style", "photoreal", "tv")
+
+
+class LossWeights(NamedTuple):
+    """Traced loss weights — a pytree so autotune can vmap over Γ (style)."""
+    content: jnp.ndarray
+    style: jnp.ndarray
+    reg: jnp.ndarray
+    tv: jnp.ndarray
+
+    @staticmethod
+    def from_config(cfg: StylizeConfig) -> "LossWeights":
+        f = lambda x: jnp.float32(x)
+        return LossWeights(f(cfg.content_weight), f(cfg.style_weight),
+                           f(cfg.regularization_weight), f(cfg.tv_weight))
+
+
+class StylizeConstants(NamedTuple):
+    """Per-run precomputed device constants (traced jit args, never baked
+    into the executable — one compile serves every image pair of a shape)."""
+    content_feats: dict         # {layer: (h, w, C)}
+    style_grams: dict           # {layer: (K, C, C)}
+    masks: dict                 # {layer: (K, h_l, w_l)} content-side masks
+    coverage: jnp.ndarray       # (K,)
+    lap_stats: Any              # LaplacianStats | None
+
+
+def make_loss_fn(vgg_params: dict, cfg: StylizeConfig
+                 ) -> Callable[..., tuple]:
+    """Build loss(image, consts, weights) -> (total, terms) for `cfg`.
+
+    Static structure (layer set, pooling, dtypes, Laplacian impl) is closed
+    over; all data (image, consts, weights) is traced.
+    """
+    style_lw = dict(zip(cfg.style_layers, cfg.style_layer_weights))
+    all_layers = tuple(dict.fromkeys(cfg.style_layers + cfg.content_layers))
+
+    def loss_fn(image: jnp.ndarray, consts: StylizeConstants,
+                weights: LossWeights):
+        feats = vgg.extract_features(
+            vgg_params, image, all_layers,
+            pooling=cfg.pooling, compute_dtype=cfg.compute_dtype)
+
+        l_content = jnp.float32(0.0)
+        for layer in cfg.content_layers:
+            l_content = l_content + losses.content_loss(
+                feats[layer], consts.content_feats[layer])
+
+        l_style = losses.style_loss(
+            feats, consts.style_grams, consts.masks, consts.coverage,
+            style_lw)
+
+        if cfg.use_photorealism and consts.lap_stats is not None:
+            l_reg = lap.photoreal_loss(
+                consts.lap_stats, image, impl=cfg.laplacian_impl)
+        else:
+            l_reg = jnp.float32(0.0)
+
+        l_tv = losses.tv_loss(image) if cfg.tv_weight else jnp.float32(0.0)
+
+        total = (weights.content * l_content + weights.style * l_style
+                 + weights.reg * l_reg + weights.tv * l_tv)
+        terms = jnp.stack([total, l_content, l_style, l_reg, l_tv])
+        return total, terms
+
+    return loss_fn
+
+
+def make_optimizer(cfg: StylizeConfig) -> optax.GradientTransformation:
+    if cfg.optimizer == "adam":
+        return optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                          eps=cfg.adam_eps)
+    return optax.lbfgs()
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "opt", "n_steps", "cfg"))
+def run_segment(image: jnp.ndarray, opt_state, consts: StylizeConstants,
+                weights: LossWeights, *, loss_fn, opt, n_steps: int,
+                cfg: StylizeConfig):
+    """Run `n_steps` optimizer steps fully on device (one lax.scan).
+
+    Returns (image, opt_state, history) with history (n_steps, 5) fp32 —
+    [total, content, style, photoreal, tv] per step.
+    """
+    if cfg.optimizer == "adam":
+        def step(carry, _):
+            img, st = carry
+            (_, terms), grad = jax.value_and_grad(
+                loss_fn, has_aux=True)(img, consts, weights)
+            updates, st = opt.update(grad, st, img)
+            img = optax.apply_updates(img, updates)
+            if cfg.clip_pixels:
+                img = jnp.clip(img, 0.0, 255.0)
+            return (img, st), terms
+    else:  # lbfgs — linesearch needs value_fn; no per-step clipping
+        scalar_loss = lambda img: loss_fn(img, consts, weights)[0]
+        vg = optax.value_and_grad_from_state(scalar_loss)
+
+        def step(carry, _):
+            img, st = carry
+            value, grad = vg(img, state=st)
+            updates, st = opt.update(grad, st, img, value=value, grad=grad,
+                                     value_fn=scalar_loss)
+            img = optax.apply_updates(img, updates)
+            terms = jnp.stack([value] + [jnp.float32(0.0)] * 4)
+            return (img, st), terms
+
+    (image, opt_state), history = jax.lax.scan(
+        step, (image, opt_state), None, length=n_steps)
+    return image, opt_state, history
+
+
+def init_image(cfg: StylizeConfig, content: jnp.ndarray,
+               style_mean: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Initial output image per cfg.init_mode (reference comp.10 init)."""
+    if cfg.init_mode == "content":
+        return content.astype(jnp.float32)
+    if cfg.init_mode == "noise":
+        key = jax.random.PRNGKey(cfg.seed)
+        noise = jax.random.normal(key, content.shape, jnp.float32)
+        return jnp.clip(127.5 + cfg.init_noise_scale * noise, 0.0, 255.0)
+    # style_mean: content structure with style's mean color
+    base = content.astype(jnp.float32)
+    mean_c = jnp.mean(base, axis=(0, 1), keepdims=True)
+    mean_s = (style_mean if style_mean is not None else mean_c)
+    return jnp.clip(base - mean_c + mean_s, 0.0, 255.0)
+
+
+def run(image0: jnp.ndarray, consts: StylizeConstants, weights: LossWeights,
+        vgg_params: dict, cfg: StylizeConfig, iterations: int | None = None,
+        callback: Callable[[int, jnp.ndarray, jnp.ndarray], None] | None
+        = None):
+    """Full optimization at one scale.
+
+    `callback(step, image, history_chunk)` fires every
+    `cfg.intermediate_interval` steps (the reference's intermediate-dump
+    UX); with no callback the whole run is ONE device dispatch.
+    Returns (final image, (iterations, 5) loss history).
+    """
+    loss_fn = make_loss_fn(vgg_params, cfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(image0)
+    total_iters = cfg.iterations if iterations is None else iterations
+
+    interval = cfg.intermediate_interval if callback else 0
+    image = image0
+    histories = []
+    done = 0
+    while done < total_iters:
+        n = total_iters - done if interval <= 0 else min(
+            interval, total_iters - done)
+        image, opt_state, hist = run_segment(
+            image, opt_state, consts, weights,
+            loss_fn=loss_fn, opt=opt, n_steps=n, cfg=cfg)
+        done += n
+        histories.append(hist)
+        if callback is not None:
+            callback(done, image, hist)
+    history = jnp.concatenate(histories) if len(histories) > 1 else (
+        histories[0] if histories else jnp.zeros((0, 5), jnp.float32))
+    if not cfg.clip_pixels:
+        image = jnp.clip(image, 0.0, 255.0)
+    return image, history

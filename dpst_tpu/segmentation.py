@@ -1,0 +1,92 @@
+"""Segmentation subsystem: PSPNet inference + mask pipeline.
+
+TPU-native rebuild of the reference's segmentation stage (SURVEY.md §2
+comps. 7-9): PSPNet-style semantic segmentation of content and style
+images (150 ADE20K classes), semantic class merging (semantic_merge.py),
+and conversion of aligned label maps into static-shape per-class soft mask
+stacks padded to `max_classes` — ragged class counts are the enemy of
+jit/scan, so the class axis is always (K_max,) with all-zero padding rows.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.resize import mask_pyramid
+
+
+def segment_images(content: np.ndarray, style: np.ndarray,
+                   params=None) -> tuple[np.ndarray, np.ndarray]:
+    """Run PSPNet on both images → per-pixel ADE20K class maps (H, W) int32.
+
+    Weights come from the bundled `.npz` if present (tools/convert_pspnet.py
+    drop-in path — no network in this environment, SURVEY.md §7 risks),
+    else deterministic random init.
+    """
+    from .models import pspnet
+    if params is None:
+        params = pspnet.get_params()
+    seg_c = pspnet.segment(params, jnp.asarray(content))
+    seg_s = pspnet.segment(params, jnp.asarray(style))
+    return np.asarray(seg_c), np.asarray(seg_s)
+
+
+def masks_from_labels(labels: np.ndarray, class_ids: list[int],
+                      max_classes: int) -> np.ndarray:
+    """One-hot (K_max, H, W) float32 masks for `class_ids`, zero-padded.
+
+    `class_ids` is the MERGED class list shared by content and style
+    (semantic_merge.merge_classes output); order defines the class axis.
+    """
+    if len(class_ids) > max_classes:
+        raise ValueError(
+            f"{len(class_ids)} merged classes > max_classes={max_classes}; "
+            "raise StylizeConfig.max_classes")
+    h, w = labels.shape
+    masks = np.zeros((max_classes, h, w), dtype=np.float32)
+    for k, cid in enumerate(class_ids):
+        masks[k] = (labels == cid)
+    return masks
+
+
+def uniform_masks(hw: tuple[int, int], max_classes: int = 1) -> np.ndarray:
+    """Single all-ones mask (padded) — the no-segmentation fallback: the
+    masked style loss degenerates to the plain Gatys Gram loss."""
+    masks = np.zeros((max_classes, hw[0], hw[1]), dtype=np.float32)
+    masks[0] = 1.0
+    return masks
+
+
+def automatic_masks(content: np.ndarray, style: np.ndarray,
+                    cfg, params=None
+                    ) -> tuple[np.ndarray, np.ndarray, list[int]]:
+    """Full automatic pipeline: segment both → merge label sets →
+    aligned (K_max, H, W) mask stacks for content and style."""
+    from . import semantic_merge
+    seg_c, seg_s = segment_images(content, style, params)
+    merged_c, merged_s, class_ids = semantic_merge.merge_classes(
+        seg_c, seg_s, metric=cfg.similarity_metric,
+        threshold=cfg.similarity_threshold)
+    mc = masks_from_labels(merged_c, class_ids, cfg.max_classes)
+    ms = masks_from_labels(merged_s, class_ids, cfg.max_classes)
+    return mc, ms, class_ids
+
+
+def coverage_weights(content_masks: jnp.ndarray) -> jnp.ndarray:
+    """(K,) per-class style-loss weights = content-image coverage fraction.
+
+    Zero-padded classes get exactly 0; real classes sum to ~1 (soft masks
+    that tile the image partition the weight budget).
+    """
+    m = jnp.asarray(content_masks, jnp.float32)
+    area = jnp.sum(m * m, axis=(1, 2))
+    total = jnp.maximum(jnp.sum(area), 1e-8)
+    return area / total
+
+
+def layer_masks(masks: jnp.ndarray, style_layers: tuple[str, ...],
+                method: str = "avg") -> dict:
+    """Per-style-layer downsampled mask stacks (SURVEY.md §2 comp.9)."""
+    return mask_pyramid(jnp.asarray(masks, jnp.float32), style_layers,
+                        method)

@@ -1,0 +1,43 @@
+"""Test environment: force CPU backend with 8 virtual devices.
+
+Sharding tests run on a virtual 8-device CPU mesh (SURVEY.md §4
+"No-real-cluster story") so the suite never contends for the single real
+TPU chip and runs anywhere. Must execute before jax is imported.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the shell presets axon (the real TPU)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon sitecustomize imports jax and registers the TPU plugin at
+# interpreter start (before this file runs), ignoring JAX_PLATFORMS.
+# Backend *selection* is still lazy, so this override wins as long as no
+# computation has run yet.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def small_images(rng):
+    """Deterministic 32×32 content/style pair in [0, 255]."""
+    content = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    style = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    return content, style
+
+
+@pytest.fixture(scope="session")
+def vgg_params_small():
+    from dpst_tpu.models import vgg
+    return vgg.init_params(seed=0)

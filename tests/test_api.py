@@ -1,0 +1,75 @@
+"""End-to-end stylize() smoke + integration (BASELINE configs 1 & 3 at toy
+resolution, CPU)."""
+import numpy as np
+import pytest
+
+from dpst_tpu import StylizeConfig, stylize
+
+
+@pytest.fixture(scope="module")
+def pair():
+    r = np.random.default_rng(21)
+    content = r.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (40, 48, 3)).astype(np.float32)
+    return content, style
+
+
+def test_config1_end_to_end(pair):
+    """Content + Gram style only (BASELINE config 1 shape)."""
+    content, style = pair
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=15)
+    out, hist = stylize(content, style, cfg, return_history=True)
+    assert out.shape == content.shape
+    assert out.dtype == np.float32
+    assert np.all(np.isfinite(out))
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    assert hist.shape == (15, 5)
+    assert hist[-1, 0] < hist[0, 0]
+
+
+def test_full_pipeline_with_photorealism(pair):
+    """Laplacian photorealism term active (BASELINE config 3 shape)."""
+    content, style = pair
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=True,
+                        laplacian_impl="xla", compute_dtype="float32",
+                        iterations=10, regularization_weight=100.0)
+    out, hist = stylize(content, style, cfg, return_history=True)
+    assert np.all(np.isfinite(out))
+    assert np.all(hist[:, 3] >= -1e-4)  # photoreal term is a PSD quadratic
+
+
+def test_external_masks(pair):
+    """User-supplied segmentation masks (SURVEY.md §7 step 2 entry point)."""
+    content, style = pair
+    cmask = np.zeros((4, 32, 32), np.float32)
+    cmask[0, :16] = 1.0
+    cmask[1, 16:] = 1.0
+    smask = np.zeros((4, 40, 48), np.float32)
+    smask[0, :, :24] = 1.0
+    smask[1, :, 24:] = 1.0
+    cfg = StylizeConfig(use_segmentation=True, use_photorealism=False,
+                        compute_dtype="float32", iterations=10,
+                        max_classes=4)
+    out = stylize(content, style, cfg, content_masks=cmask,
+                  style_masks=smask)
+    assert out.shape == content.shape
+    assert np.all(np.isfinite(out))
+
+
+def test_multiscale(pair):
+    content, style = pair
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=5,
+                        scales=(16, 32))
+    out = stylize(content, style, cfg)
+    assert out.shape == content.shape
+    assert np.all(np.isfinite(out))
+
+
+def test_size_argument(pair):
+    content, style = pair
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=3)
+    out = stylize(content, style, cfg, size=(24, 24))
+    assert out.shape == (24, 24, 3)

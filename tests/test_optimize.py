@@ -1,0 +1,106 @@
+"""Optimization loop: convergence, scan≡unrolled equivalence, projection
+(SURVEY.md §4 integration + device tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dpst_tpu import optimize, segmentation
+from dpst_tpu.api import prepare_constants
+from dpst_tpu.config import StylizeConfig
+
+CFG = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                    compute_dtype="float32", iterations=40,
+                    learning_rate=2.0, intermediate_interval=0)
+
+
+def _setup(small_images, vgg_params_small, cfg=CFG):
+    content, style = small_images
+    cmask = segmentation.uniform_masks(content.shape[:2])
+    smask = segmentation.uniform_masks(style.shape[:2])
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(cmask),
+        jnp.asarray(smask), cfg, vgg_params_small)
+    weights = optimize.LossWeights.from_config(cfg)
+    image0 = optimize.init_image(cfg, jnp.asarray(content))
+    return image0, consts, weights
+
+
+def test_loss_decreases(small_images, vgg_params_small):
+    image0, consts, weights = _setup(small_images, vgg_params_small)
+    image, hist = optimize.run(
+        image0, consts, weights, vgg_params_small, CFG)
+    hist = np.asarray(hist)
+    assert hist.shape == (40, 5)
+    assert np.all(np.isfinite(hist))
+    # total loss drops substantially over the run
+    assert hist[-1, 0] < 0.7 * hist[0, 0], (hist[0, 0], hist[-1, 0])
+
+
+def test_pixels_stay_in_range(small_images, vgg_params_small):
+    image0, consts, weights = _setup(small_images, vgg_params_small)
+    image, _ = optimize.run(image0, consts, weights, vgg_params_small, CFG)
+    img = np.asarray(image)
+    assert img.min() >= 0.0 and img.max() <= 255.0
+
+
+def test_scan_matches_unrolled(small_images, vgg_params_small):
+    """The lax.scan trajectory must equal a hand-driven python loop
+    (SURVEY.md §4 device tests)."""
+    image0, consts, weights = _setup(small_images, vgg_params_small)
+    loss_fn = optimize.make_loss_fn(vgg_params_small, CFG)
+    opt = optimize.make_optimizer(CFG)
+
+    img_scan, st, hist = optimize.run_segment(
+        image0, opt.init(image0), consts, weights,
+        loss_fn=loss_fn, opt=opt, n_steps=5, cfg=CFG)
+
+    @jax.jit
+    def one_step(img, state):
+        (_, terms), grad = jax.value_and_grad(
+            loss_fn, has_aux=True)(img, consts, weights)
+        updates, state = opt.update(grad, state, img)
+        img = optax.apply_updates(img, updates)
+        return jnp.clip(img, 0.0, 255.0), state
+
+    img = image0
+    state = opt.init(image0)
+    for _ in range(5):
+        img, state = one_step(img, state)
+    # scan body and standalone jit may fuse fp32 math differently; the
+    # trajectories must agree to fp32 roundoff accumulated over 5 steps
+    np.testing.assert_allclose(np.asarray(img_scan), np.asarray(img),
+                               rtol=1e-3, atol=5e-2)
+
+
+def test_intermediate_callback(small_images, vgg_params_small):
+    image0, consts, weights = _setup(small_images, vgg_params_small)
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=10,
+                        intermediate_interval=4)
+    seen = []
+    optimize.run(image0, consts, weights, vgg_params_small, cfg,
+                 callback=lambda step, img, hist: seen.append(
+                     (step, np.asarray(img).shape)))
+    assert [s for s, _ in seen] == [4, 8, 10]
+
+
+def test_noise_init_deterministic(small_images):
+    content, _ = small_images
+    cfg = StylizeConfig(init_mode="noise", seed=3)
+    a = optimize.init_image(cfg, jnp.asarray(content))
+    b = optimize.init_image(cfg, jnp.asarray(content))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jnp.min(a)) >= 0.0 and float(jnp.max(a)) <= 255.0
+
+
+def test_lbfgs_runs(small_images, vgg_params_small):
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=10,
+                        optimizer="lbfgs", clip_pixels=False)
+    image0, consts, weights = _setup(small_images, vgg_params_small, cfg)
+    image, hist = optimize.run(image0, consts, weights, vgg_params_small,
+                               cfg)
+    hist = np.asarray(hist)
+    assert np.all(np.isfinite(np.asarray(image)))
+    assert hist[-1, 0] < hist[0, 0]

@@ -1,0 +1,102 @@
+"""VGG-19 extractor vs an independently-built torch reference stack.
+
+Validates conv semantics (SAME padding, stride-1 3×3), pooling (floor-mode
+2×2), Caffe BGR+mean preprocessing, and tap selection by comparing against
+torch.nn layers carrying the SAME weights (SURVEY.md §4 unit tests).
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from dpst_tpu.models import vgg
+
+
+def _torch_features(params, img_np, layers, pooling="max"):
+    """Reference forward pass in torch with dpst_tpu's weights."""
+    x = torch.from_numpy(img_np[None]).permute(0, 3, 1, 2).double()
+    x = x.flip(1)  # RGB -> BGR
+    means = torch.tensor(vgg.BGR_MEANS, dtype=torch.float64).view(1, 3, 1, 1)
+    x = x - means
+    taps = {}
+    deepest = max(vgg.LAYER_ORDER.index(l) for l in layers)
+    for idx, name in enumerate(vgg.LAYER_ORDER):
+        if idx > deepest:
+            break
+        if name.startswith("pool"):
+            if pooling == "max":
+                x = F.max_pool2d(x, 2, 2)
+            else:
+                x = F.avg_pool2d(x, 2, 2)
+            continue
+        w = torch.from_numpy(
+            np.asarray(params[name]["w"])).permute(3, 2, 0, 1).double()
+        b = torch.from_numpy(np.asarray(params[name]["b"])).double()
+        x = F.conv2d(x, w, b, padding=1)
+        x = F.relu(x)
+        if name in layers:
+            taps[name] = x[0].permute(1, 2, 0).numpy()
+    return taps
+
+
+@pytest.mark.parametrize("pooling", ["max", "avg"])
+def test_features_match_torch(vgg_params_small, small_images, pooling):
+    content, _ = small_images
+    layers = ("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv4_2",
+              "conv5_1")
+    ours = vgg.extract_features(
+        vgg_params_small, content, layers, pooling=pooling,
+        compute_dtype="float32")
+    theirs = _torch_features(vgg_params_small, content, layers, pooling)
+    for layer in layers:
+        a = np.asarray(ours[layer])
+        b = theirs[layer]
+        assert a.shape == b.shape, layer
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3,
+                                   err_msg=layer)
+
+
+def test_truncation_matches_full(vgg_params_small, small_images):
+    """Stopping at the deepest tap must not change tap values."""
+    content, _ = small_images
+    shallow = vgg.extract_features(
+        vgg_params_small, content, ("conv1_1", "conv2_1"),
+        compute_dtype="float32")
+    deep = vgg.extract_features(
+        vgg_params_small, content, ("conv1_1", "conv2_1", "conv5_1"),
+        compute_dtype="float32")
+    np.testing.assert_allclose(np.asarray(shallow["conv2_1"]),
+                               np.asarray(deep["conv2_1"]), rtol=1e-6)
+
+
+def test_batched_matches_single(vgg_params_small, small_images):
+    content, style = small_images
+    batch = np.stack([content, style])
+    single = vgg.extract_features(
+        vgg_params_small, content, ("conv3_1",), compute_dtype="float32")
+    batched = vgg.extract_features(
+        vgg_params_small, batch, ("conv3_1",), compute_dtype="float32")
+    assert batched["conv3_1"].shape[0] == 2
+    np.testing.assert_allclose(np.asarray(batched["conv3_1"][0]),
+                               np.asarray(single["conv3_1"]), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_layer_shapes(vgg_params_small, small_images):
+    content, _ = small_images
+    feats = vgg.extract_features(
+        vgg_params_small, content,
+        ("conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1"),
+        compute_dtype="float32")
+    assert feats["conv1_1"].shape == (32, 32, 64)
+    assert feats["conv2_1"].shape == (16, 16, 128)
+    assert feats["conv3_1"].shape == (8, 8, 256)
+    assert feats["conv4_1"].shape == (4, 4, 512)
+    assert feats["conv5_1"].shape == (2, 2, 512)
+
+
+def test_deterministic_init():
+    p1 = vgg.init_params(seed=0)
+    p2 = vgg.init_params(seed=0)
+    np.testing.assert_array_equal(np.asarray(p1["conv3_2"]["w"]),
+                                  np.asarray(p2["conv3_2"]["w"]))
