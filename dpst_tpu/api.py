@@ -7,8 +7,10 @@ and is passed to the scan'd optimizer loop as traced constants.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,13 +23,17 @@ from .ops.resize import downsample_mask, resize_image
 from .utils import io
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
                       content_masks: jnp.ndarray, style_masks: jnp.ndarray,
                       cfg: StylizeConfig, vgg_params: dict
                       ) -> optimize.StylizeConstants:
     """Precompute everything the optimizer loop consumes (once per scale):
     content features, per-class masked style Grams, content mask pyramid,
-    coverage weights, matting-Laplacian window stats."""
+    coverage weights, matting-Laplacian window stats.
+
+    Jitted as ONE XLA program: eager per-op dispatch here costs tens of
+    seconds through a remote-TPU tunnel; fused it is milliseconds."""
     content = jnp.asarray(content, jnp.float32)
     style = jnp.asarray(style, jnp.float32)
 

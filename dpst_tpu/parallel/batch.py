@@ -1,0 +1,98 @@
+"""Batched / sharded stylization: K image pairs across a TPU slice.
+
+BASELINE config 5 (8 pairs on a v5e-8) and the substrate for autotune's
+Γ-sweep (SURVEY.md §2 comps. 10, 12): the whole per-pair pipeline —
+constants precompute, VGG forward, losses, Laplacian matvec, Adam update —
+is `vmap`ped over the pair axis and jitted with the batch axis sharded
+over a 1-D mesh. Each chip then runs an independent stylization; there is
+no cross-pair math, so XLA emits zero inter-chip collectives in the hot
+loop — perfect weak scaling by construction.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from .. import optimize
+from ..api import prepare_constants
+from ..config import StylizeConfig
+from . import mesh as mesh_lib
+
+
+def _prepare_one(content, style, cmask, smask, *, cfg, vgg_params):
+    return prepare_constants(content, style, cmask, smask, cfg, vgg_params)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=())
+def prepare_batch(contents, styles, cmasks, smasks, vgg_params,
+                  cfg: StylizeConfig):
+    """vmapped constants precompute: (B, ...) stacks in, batched
+    StylizeConstants out. Sharding propagates from the inputs."""
+    f = partial(_prepare_one, cfg=cfg, vgg_params=vgg_params)
+    return jax.vmap(f)(contents, styles, cmasks, smasks)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "per_pair_weights"))
+def run_batch(images, consts, weights, vgg_params, cfg: StylizeConfig,
+              n_steps: int, per_pair_weights: bool = False):
+    """One jitted dispatch: `n_steps` Adam steps for every pair.
+
+    images: (B, H, W, 3); consts: batched StylizeConstants;
+    weights: LossWeights of scalars (shared) or (B,) arrays when
+    `per_pair_weights` (the Γ-sweep case).
+    Returns (images, history (B, n_steps, 5)).
+    """
+    loss_fn = optimize.make_loss_fn(vgg_params, cfg)
+    opt = optimize.make_optimizer(cfg)
+
+    def run_one(image, consts_one, weights_one):
+        opt_state = opt.init(image)
+        img, _, hist = optimize.run_segment(
+            image, opt_state, consts_one, weights_one,
+            loss_fn=loss_fn, opt=opt, n_steps=n_steps, cfg=cfg)
+        return img, hist
+
+    w_axes = optimize.LossWeights(0, 0, 0, 0) if per_pair_weights else None
+    return jax.vmap(run_one, in_axes=(0, 0, w_axes))(
+        images, consts, weights)
+
+
+def stylize_batch(contents, styles, cmasks, smasks,
+                  cfg: StylizeConfig | None = None,
+                  vgg_params: dict | None = None,
+                  mesh: Mesh | None = None,
+                  weights: optimize.LossWeights | None = None,
+                  per_pair_weights: bool = False):
+    """Stylize B image pairs, sharded over all available chips.
+
+    contents/styles: (B, H, W, 3) float [0,255]; cmasks/smasks:
+    (B, K, H, W) soft masks (use segmentation.uniform_masks per pair for
+    the unmasked case). Returns (images (B, H, W, 3), history (B, it, 5)).
+    """
+    cfg = cfg or StylizeConfig()
+    if vgg_params is None:
+        from ..models import vgg
+        vgg_params = vgg.get_params(seed=cfg.seed)
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    if weights is None:
+        weights = optimize.LossWeights.from_config(cfg)
+
+    batch = mesh_lib.shard_batch(
+        (jnp.asarray(contents, jnp.float32),
+         jnp.asarray(styles, jnp.float32),
+         jnp.asarray(cmasks, jnp.float32),
+         jnp.asarray(smasks, jnp.float32)), mesh)
+    params_r = mesh_lib.replicate(vgg_params, mesh)
+    weights_r = (mesh_lib.shard_batch(weights, mesh) if per_pair_weights
+                 else mesh_lib.replicate(weights, mesh))
+
+    consts = prepare_batch(*batch, params_r, cfg)
+    images0 = jax.vmap(partial(optimize.init_image, cfg))(batch[0])
+    images, history = run_batch(
+        images0, consts, weights_r, params_r, cfg, cfg.iterations,
+        per_pair_weights)
+    return images, history

@@ -1,0 +1,111 @@
+"""Sharded batched stylization on the 8-virtual-device CPU mesh
+(SURVEY.md §4 device tests: sharded batch ≡ sequential runs)."""
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def toy_batch():
+    r = np.random.default_rng(31)
+    B, H, W, K = 4, 24, 24, 2
+    contents = r.uniform(0, 255, (B, H, W, 3)).astype(np.float32)
+    styles = r.uniform(0, 255, (B, H, W, 3)).astype(np.float32)
+    cmasks = np.zeros((B, K, H, W), np.float32)
+    smasks = np.zeros((B, K, H, W), np.float32)
+    cmasks[:, 0, :12] = 1.0
+    cmasks[:, 1, 12:] = 1.0
+    smasks[:, 0, :, :12] = 1.0
+    smasks[:, 1, :, 12:] = 1.0
+    return contents, styles, cmasks, smasks
+
+
+def _cfg(**kw):
+    from dpst_tpu import StylizeConfig
+    base = dict(use_segmentation=True, use_photorealism=True,
+                laplacian_impl="xla", compute_dtype="float32",
+                max_classes=2, iterations=8)
+    base.update(kw)
+    return StylizeConfig(**base)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_batch_matches_sequential(toy_batch):
+    """Sharded 4-pair run ≡ 4 independent single-pair runs."""
+    import jax.numpy as jnp
+    from dpst_tpu import optimize, prepare_constants
+    from dpst_tpu.models import vgg
+    from dpst_tpu.parallel import batch as pbatch
+    from dpst_tpu.parallel import mesh as mesh_lib
+
+    contents, styles, cmasks, smasks = toy_batch
+    cfg = _cfg()
+    params = vgg.init_params(seed=0)
+
+    mesh = mesh_lib.make_mesh(4)
+    images_b, hist_b = pbatch.stylize_batch(
+        contents, styles, cmasks, smasks, cfg=cfg, vgg_params=params,
+        mesh=mesh)
+    images_b = np.asarray(images_b)
+
+    weights = optimize.LossWeights.from_config(cfg)
+    for i in range(contents.shape[0]):
+        consts = prepare_constants(
+            jnp.asarray(contents[i]), jnp.asarray(styles[i]),
+            jnp.asarray(cmasks[i]), jnp.asarray(smasks[i]), cfg, params)
+        img0 = optimize.init_image(cfg, jnp.asarray(contents[i]))
+        img, hist = optimize.run(img0, consts, weights, params, cfg)
+        # vmapped and single-pair XLA programs fuse fp32 math differently;
+        # pixels must agree to accumulated roundoff on the [0,255] scale
+        np.testing.assert_allclose(
+            images_b[i], np.asarray(img), rtol=1e-2, atol=0.25,
+            err_msg=f"pair {i}")
+        np.testing.assert_allclose(
+            np.asarray(hist_b)[i, :, 0], np.asarray(hist)[:, 0],
+            rtol=1e-3, err_msg=f"pair {i} history")
+
+
+def test_per_pair_weights(toy_batch):
+    """Γ-sweep substrate: per-pair style weights change per-pair results."""
+    from dpst_tpu import optimize
+    from dpst_tpu.parallel import batch as pbatch
+    from dpst_tpu.parallel import mesh as mesh_lib
+    import jax.numpy as jnp
+
+    contents, styles, cmasks, smasks = toy_batch
+    cfg = _cfg(use_photorealism=False, iterations=5)
+    mesh = mesh_lib.make_mesh(4)
+    gammas = jnp.asarray([0.0, 10.0, 100.0, 1000.0], jnp.float32)
+    weights = optimize.LossWeights(
+        content=jnp.ones(4), style=gammas,
+        reg=jnp.zeros(4), tv=jnp.zeros(4))
+    images, hist = pbatch.stylize_batch(
+        contents, styles, cmasks, smasks, cfg=cfg, mesh=mesh,
+        weights=weights, per_pair_weights=True)
+    hist = np.asarray(hist)
+    # zero style weight → zero style contribution to total at every step
+    np.testing.assert_allclose(hist[0, :, 0],
+                               hist[0, :, 1], rtol=1e-5)
+    # larger Γ → strictly larger total loss at step 0
+    totals0 = hist[:, 0, 0]
+    assert np.all(np.diff(totals0) > 0), totals0
+
+
+def test_graft_entry_contract():
+    """The driver contract file: entry() compiles, dryrun executes."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.all(np.isfinite(np.asarray(out[2])))
+
+    mod.dryrun_multichip(8)
