@@ -51,7 +51,8 @@ def prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
     style_grams = {}
     for layer in cfg.style_layers:
         feats = style_feats[layer]
-        grams = [losses_mod.masked_gram(feats, smask_pyr[layer][k])
+        grams = [losses_mod.masked_gram(feats, smask_pyr[layer][k],
+                                        compute_dtype=cfg.compute_dtype)
                  for k in range(smask_pyr[layer].shape[0])]
         style_grams[layer] = jnp.stack(grams)
 
@@ -102,6 +103,7 @@ def stylize(content, style, config: StylizeConfig | None = None, *,
             vgg_params: dict | None = None,
             seg_params=None,
             callback: Callable | None = None,
+            resume: bool = False,
             return_history: bool = False):
     """Stylize `content` with the style of `style` (paths or HWC arrays).
 
@@ -136,9 +138,16 @@ def stylize(content, style, config: StylizeConfig | None = None, *,
     cmask_full = jnp.asarray(content_masks)
     smask_full = jnp.asarray(style_masks)
 
+    checkpointer = None
+    if cfg.checkpoint_dir:
+        from .utils.checkpoint import RunCheckpointer
+        checkpointer = RunCheckpointer(cfg.checkpoint_dir)
+
     image = None
     history = []
-    for (h, w, iters) in _scale_schedule(cfg, hw):
+    stages = _scale_schedule(cfg, hw)
+    for stage_i, (h, w, iters) in enumerate(stages):
+        is_last = stage_i == len(stages) - 1
         if (h, w) == tuple(content_full.shape[:2]):
             content_s, style_s = content_full, style_full
             cmask_s, smask_s = cmask_full, smask_full
@@ -156,9 +165,13 @@ def stylize(content, style, config: StylizeConfig | None = None, *,
             image = optimize.init_image(cfg, content_s, style_mean)
         else:
             image = jnp.clip(resize_image(image, (h, w)), 0.0, 255.0)
+        # checkpoint/resume applies at the final scale only (optimizer
+        # state shapes differ across scales)
         image, hist = optimize.run(
             image, consts, weights, vgg_params, cfg, iterations=iters,
-            callback=callback)
+            callback=callback,
+            checkpointer=checkpointer if is_last else None,
+            resume=resume and is_last)
         history.append(hist)
 
     result = np.asarray(jnp.clip(image, 0.0, 255.0))

@@ -1,0 +1,145 @@
+"""NIMA-guided automatic style-weight (Γ) tuning.
+
+TPU-native rebuild of the reference's hyperparameter automation layer
+(SURVEY.md §2 comp.12, §3.3; paper §3.3 of arXiv:1901.03915): the
+image-pair-dependent style weight Γ is chosen by maximizing the NIMA
+aesthetic score of the stylization result.
+
+Where the reference stylizes candidates one after another (a full
+optimization run each), here ALL candidates run simultaneously: the
+per-pair constants are computed once and broadcast, the optimization loop
+is vmapped over Γ with the candidate axis sharded over the device mesh
+(each chip owns a candidate — free parallelism on a v5e-8), and one
+batched NIMA forward scores every result. Optional bracketing rounds
+re-sweep a narrowed log-range around the incumbent.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import optimize, segmentation
+from .api import prepare_constants
+from .config import StylizeConfig
+from .models import nima as nima_mod
+from .models import vgg
+from .parallel import mesh as mesh_lib
+from .utils import io
+
+DEFAULT_GAMMAS = (1.0, 10.0, 100.0, 1000.0)
+
+
+class TuneResult(NamedTuple):
+    best_gamma: float
+    best_image: np.ndarray
+    gammas: np.ndarray          # every candidate evaluated, all rounds
+    scores: np.ndarray          # NIMA score per candidate
+    images: np.ndarray          # (N, H, W, 3) final images (last round)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def _sweep(image0, consts, gammas, vgg_params, cfg: StylizeConfig,
+           n_steps: int):
+    """Run the full optimization for every Γ candidate in one dispatch.
+
+    Constants and the initial image are broadcast (in_axes=None) — only
+    the style weight varies across the candidate axis.
+    """
+    loss_fn = optimize.make_loss_fn(vgg_params, cfg)
+    opt = optimize.make_optimizer(cfg)
+
+    def run_one(gamma):
+        weights = optimize.LossWeights(
+            content=jnp.float32(cfg.content_weight), style=gamma,
+            reg=jnp.float32(cfg.regularization_weight),
+            tv=jnp.float32(cfg.tv_weight))
+        img, _, hist = optimize.run_segment(
+            image0, opt.init(image0), consts, weights,
+            loss_fn=loss_fn, opt=opt, n_steps=n_steps, cfg=cfg)
+        return img, hist
+
+    return jax.vmap(run_one)(gammas)
+
+
+def autotune(content, style, config: StylizeConfig | None = None, *,
+             size=None, gammas=None, rounds: int = 1,
+             content_masks=None, style_masks=None,
+             vgg_params=None, nima_params=None, seg_params=None,
+             mesh=None) -> TuneResult:
+    """Find the NIMA-optimal style weight Γ for one image pair.
+
+    gammas: initial candidate set (log-spaced default); rounds > 1 adds
+    bracketing re-sweeps of the same width in log-space, narrowed around
+    the incumbent best. Returns every (Γ, score) evaluated plus the best
+    stylization.
+    """
+    cfg = config or StylizeConfig()
+    content_np = io.load_image(content, size)
+    hw = content_np.shape[:2]
+    style_np = io.load_image(style, hw)
+
+    if content_masks is None or style_masks is None:
+        if cfg.use_segmentation:
+            content_masks, style_masks, _ = segmentation.automatic_masks(
+                content_np, style_np, cfg, seg_params)
+        else:
+            content_masks = segmentation.uniform_masks(hw)
+            style_masks = segmentation.uniform_masks(style_np.shape[:2])
+
+    if vgg_params is None:
+        vgg_params = vgg.get_params(seed=cfg.seed)
+    if nima_params is None:
+        nima_params = nima_mod.get_params(seed=cfg.seed)
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+
+    consts = prepare_constants(
+        jnp.asarray(content_np), jnp.asarray(style_np),
+        jnp.asarray(content_masks, jnp.float32),
+        jnp.asarray(style_masks, jnp.float32), cfg, vgg_params)
+    style_mean = jnp.mean(jnp.asarray(style_np), axis=(0, 1),
+                          keepdims=True)
+    image0 = optimize.init_image(cfg, jnp.asarray(content_np), style_mean)
+
+    cand = np.asarray(gammas if gammas is not None else DEFAULT_GAMMAS,
+                      np.float32)
+    # candidate axis shards over the largest submesh that divides it
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_shard = max(k for k in range(1, min(n_dev, len(cand)) + 1)
+                  if len(cand) % k == 0)
+    submesh = mesh_lib.make_mesh(n_shard) if n_shard != n_dev else mesh
+
+    all_gammas, all_scores = [], []
+    best_gamma, best_score, best_img, images = None, -np.inf, None, None
+    for rnd in range(max(1, rounds)):
+        g = jnp.asarray(cand, jnp.float32)
+        g = jax.device_put(g, mesh_lib.batch_sharding(submesh))
+        imgs, _hist = _sweep(image0, consts, g, vgg_params, cfg,
+                             cfg.iterations)
+        scores = np.asarray(nima_mod.nima_score(nima_params, imgs))
+        all_gammas.append(cand)
+        all_scores.append(scores)
+        images = np.asarray(imgs)
+        i_best = int(np.argmax(scores))
+        if scores[i_best] > best_score:
+            best_score = float(scores[i_best])
+            best_gamma = float(cand[i_best])
+            best_img = images[i_best]
+        if rnd + 1 < rounds:
+            # narrow the log-bracket around the incumbent
+            lo = cand[max(0, i_best - 1)]
+            hi = cand[min(len(cand) - 1, i_best + 1)]
+            if lo == hi:
+                lo, hi = lo * 0.5, hi * 2.0
+            cand = np.logspace(np.log10(max(lo, 1e-6)),
+                               np.log10(max(hi, 1e-6)),
+                               num=len(cand), dtype=np.float32)
+
+    return TuneResult(
+        best_gamma=best_gamma, best_image=best_img,
+        gammas=np.concatenate(all_gammas),
+        scores=np.concatenate(all_scores), images=images)

@@ -1,0 +1,191 @@
+"""Command-line driver: `python -m dpst_tpu --content C --style S`.
+
+The parity surface of the reference CLI (SURVEY.md §2 comp.1, §5 config
+system): flat flags with the reference's semantics — content/style paths,
+iteration count, the three loss weights (α content, Γ style, λ
+regularization), similarity metric + threshold, intermediate interval,
+init mode — plus the TPU-native extras (multi-scale schedule, profiler,
+NaN debugging, orbax resume, NIMA auto-tuning, Laplacian impl choice).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dpst_tpu",
+        description="TPU-native automated deep photo style transfer")
+    p.add_argument("--content", required=True, help="content image path")
+    p.add_argument("--style", required=True, help="style image path")
+    p.add_argument("--output", default="result.png",
+                   help="output image path")
+    p.add_argument("--size", type=int, default=512,
+                   help="working resolution (longest side; 0 = native)")
+
+    g = p.add_argument_group("loss weights")
+    g.add_argument("--content-weight", type=float, default=1.0)
+    g.add_argument("--style-weight", type=float, default=100.0,
+                   help="Γ; ignored when --autotune is set")
+    g.add_argument("--regularization-weight", type=float, default=1e4,
+                   help="λ on the matting-Laplacian photorealism term")
+    g.add_argument("--tv-weight", type=float, default=0.0)
+
+    g = p.add_argument_group("optimization")
+    g.add_argument("--iterations", type=int, default=500)
+    g.add_argument("--optimizer", choices=("adam", "lbfgs"),
+                   default="adam")
+    g.add_argument("--lr", type=float, default=2.0)
+    g.add_argument("--init", choices=("content", "noise", "style_mean"),
+                   default="content")
+    g.add_argument("--scales", type=int, nargs="*", default=None,
+                   help="multi-scale schedule, e.g. --scales 256 512 1024")
+    g.add_argument("--seed", type=int, default=0)
+
+    g = p.add_argument_group("segmentation")
+    g.add_argument("--no-segmentation", action="store_true",
+                   help="disable automatic masks (plain Gram style loss)")
+    g.add_argument("--similarity-metric",
+                   choices=("grouped", "token", "combined"),
+                   default="grouped")
+    g.add_argument("--similarity-threshold", type=float, default=0.25)
+    g.add_argument("--max-classes", type=int, default=8)
+    g.add_argument("--content-masks", default=None,
+                   help=".npy (K,H,W) mask stack overriding segmentation")
+    g.add_argument("--style-masks", default=None)
+
+    g = p.add_argument_group("photorealism")
+    g.add_argument("--no-photorealism", action="store_true")
+    g.add_argument("--matting-epsilon", type=float, default=1e-5)
+    g.add_argument("--laplacian-impl",
+                   choices=("auto", "pallas", "xla"), default="auto")
+
+    g = p.add_argument_group("auto-tuning (NIMA)")
+    g.add_argument("--autotune", action="store_true",
+                   help="choose Γ by maximizing the NIMA score")
+    g.add_argument("--gamma-candidates", type=float, nargs="*",
+                   default=None)
+    g.add_argument("--tune-rounds", type=int, default=1)
+
+    g = p.add_argument_group("observability / state")
+    g.add_argument("--intermediate-interval", type=int, default=100)
+    g.add_argument("--intermediate-dir", default=None,
+                   help="save in-progress images here every interval")
+    g.add_argument("--loss-csv", default=None,
+                   help="write the per-step loss history as CSV")
+    g.add_argument("--checkpoint-dir", default=None)
+    g.add_argument("--resume", action="store_true")
+    g.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the run")
+    g.add_argument("--debug-nans", action="store_true")
+    g.add_argument("--dtype", choices=("bfloat16", "float32"),
+                   default="bfloat16", help="conv/Gram compute dtype")
+    g.add_argument("--pooling", choices=("max", "avg"), default="max")
+    g.add_argument("--no-compile-cache", action="store_true")
+    return p
+
+
+def config_from_args(args) -> "StylizeConfig":
+    from .config import StylizeConfig
+    return StylizeConfig(
+        content_weight=args.content_weight,
+        style_weight=args.style_weight,
+        regularization_weight=args.regularization_weight,
+        tv_weight=args.tv_weight,
+        iterations=args.iterations,
+        optimizer=args.optimizer,
+        learning_rate=args.lr,
+        init_mode=args.init,
+        seed=args.seed,
+        scales=tuple(args.scales) if args.scales else (),
+        use_segmentation=not args.no_segmentation,
+        similarity_metric=args.similarity_metric,
+        similarity_threshold=args.similarity_threshold,
+        max_classes=args.max_classes,
+        use_photorealism=not args.no_photorealism,
+        matting_epsilon=args.matting_epsilon,
+        laplacian_impl=args.laplacian_impl,
+        intermediate_interval=args.intermediate_interval,
+        checkpoint_dir=args.checkpoint_dir or "",
+        profile_dir=args.profile_dir or "",
+        debug_nans=args.debug_nans,
+        compute_dtype=args.dtype,
+        pooling=args.pooling,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .utils import runtime
+    if not args.no_compile_cache:
+        runtime.enable_compilation_cache()
+    if args.debug_nans:
+        runtime.enable_debug_nans()
+
+    import numpy as np
+
+    from . import api, autotune as autotune_mod
+    from .utils import io
+
+    cfg = config_from_args(args)
+    size = args.size if args.size > 0 else None
+
+    masks = {}
+    if args.content_masks:
+        masks["content_masks"] = np.load(args.content_masks)
+    if args.style_masks:
+        masks["style_masks"] = np.load(args.style_masks)
+
+    callback = None
+    if args.intermediate_dir:
+        os.makedirs(args.intermediate_dir, exist_ok=True)
+
+        def callback(step, image, hist):
+            path = os.path.join(args.intermediate_dir,
+                                f"iter_{step:05d}.png")
+            io.save_image(np.asarray(image), path)
+            terms = np.asarray(hist)[-1]
+            print(f"  step {step}: total={terms[0]:.4g} "
+                  f"content={terms[1]:.4g} style={terms[2]:.4g} "
+                  f"photoreal={terms[3]:.4g}", flush=True)
+
+    t0 = time.perf_counter()
+    with runtime.maybe_profile(args.profile_dir or ""):
+        if args.autotune:
+            res = autotune_mod.autotune(
+                args.content, args.style, cfg, size=size,
+                gammas=args.gamma_candidates, rounds=args.tune_rounds,
+                **masks)
+            out, history = res.best_image, None
+            print(f"autotune: best Γ = {res.best_gamma:g} "
+                  f"(NIMA {res.scores.max():.3f}); candidates: "
+                  + ", ".join(f"{g:g}:{s:.3f}" for g, s in
+                              zip(res.gammas, res.scores)))
+        else:
+            out, history = api.stylize(
+                args.content, args.style, cfg, size=size,
+                callback=callback, resume=args.resume,
+                return_history=True, **masks)
+    dt = time.perf_counter() - t0
+
+    io.save_image(out, args.output)
+    print(f"wrote {args.output}  ({out.shape[1]}x{out.shape[0]}, "
+          f"{dt:.1f}s)")
+    if history is not None:
+        print(f"final losses: total={history[-1, 0]:.4g} "
+              f"content={history[-1, 1]:.4g} style={history[-1, 2]:.4g} "
+              f"photoreal={history[-1, 3]:.4g} tv={history[-1, 4]:.4g}")
+        if args.loss_csv:
+            np.savetxt(
+                args.loss_csv, np.asarray(history), delimiter=",",
+                header="total,content,style,photoreal,tv", comments="")
+            print(f"wrote {args.loss_csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

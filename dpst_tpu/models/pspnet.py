@@ -1,0 +1,193 @@
+"""PSPNet-50 semantic segmentation (dilated ResNet-50 + pyramid pooling).
+
+TPU-native rebuild of the reference's segmentation network (SURVEY.md §2
+comp.7; "Pyramid Scene Parsing Network", Zhao et al., CVPR 2017):
+ResNet-v1c stem (three 3×3 convs), res2-res5 bottleneck stages with res4/
+res5 dilated (output stride 8), pyramid pooling over (1, 2, 3, 6) bins,
+fusion conv, and a 150-way ADE20K classifier upsampled to input size.
+
+Design notes (tpu-first):
+  * functional params-dict + jnp, jitted end to end at a fixed 473×473
+    eval resolution — one static-shape XLA program for any input image;
+  * inference-only: batch norms are folded to a single scale/bias pair at
+    weight-load time (fewer HBM reads, perfect fusion into the convs);
+  * convs run in bfloat16 with fp32 head math.
+
+Weights: `weights/pspnet50_ade20k.npz` if present (documented drop-in —
+tools/convert_pspnet.py; this environment has no network, SURVEY.md §7
+risks), else deterministic random init — architecturally exact either way.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_CLASSES = 150
+EVAL_SIZE = 473                  # PSPNet ADE20K crop size
+PPM_BINS = (1, 2, 3, 6)
+# ImageNet means/std (RGB) used by PSPNet preprocessing
+RGB_MEAN = (123.675, 116.28, 103.53)
+RGB_STD = (58.395, 57.12, 57.375)
+
+# (blocks, out_channels, stride, dilation) per stage
+STAGES = ((3, 256, 1, 1), (4, 512, 2, 1), (6, 1024, 1, 2), (3, 2048, 1, 4))
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv_spec():
+    """Enumerate every (name, kh, kw, cin, cout) conv in the network."""
+    specs = []
+    # v1c stem: 3×3/2 64, 3×3 64, 3×3 128
+    specs += [("stem1", 3, 3, 3, 64), ("stem2", 3, 3, 64, 64),
+              ("stem3", 3, 3, 64, 128)]
+    cin = 128
+    for si, (blocks, cout, _stride, _dil) in enumerate(STAGES):
+        mid = cout // 4
+        for b in range(blocks):
+            p = f"res{si + 2}_{b}"
+            specs += [(f"{p}_a", 1, 1, cin if b == 0 else cout, mid),
+                      (f"{p}_b", 3, 3, mid, mid),
+                      (f"{p}_c", 1, 1, mid, cout)]
+            if b == 0:
+                specs.append((f"{p}_proj", 1, 1, cin, cout))
+        cin = cout
+    for bin_ in PPM_BINS:
+        specs.append((f"ppm{bin_}", 1, 1, 2048, 512))
+    specs += [("fuse", 3, 3, 2048 + 512 * len(PPM_BINS), 512),
+              ("head", 1, 1, 512, N_CLASSES)]
+    return specs
+
+
+CONV_SPECS = _conv_spec()
+
+
+def init_params(seed: int = 0) -> dict:
+    """Deterministic He init; BN folded to identity (scale 1, bias 0)."""
+    key = jax.random.PRNGKey(seed ^ 0x5B5)
+    params = {}
+    for name, kh, kw, cin, cout in CONV_SPECS:
+        key, kw_key = jax.random.split(key)
+        fan_in = kh * kw * cin
+        params[name] = {
+            "w": jax.random.normal(
+                kw_key, (kh, kw, cin, cout), jnp.float32)
+            * jnp.sqrt(2.0 / fan_in),
+            "scale": jnp.ones((cout,), jnp.float32),   # folded BN γ/√var
+            "bias": jnp.zeros((cout,), jnp.float32),   # folded BN β-μγ/√var
+        }
+    return params
+
+
+def load_params(path: str) -> dict:
+    """`.npz` bundle with keys `<name>_w`, `<name>_scale`, `<name>_bias`
+    (BN pre-folded by tools/convert_pspnet.py)."""
+    data = np.load(path)
+    params = {}
+    for name, kh, kw, cin, cout in CONV_SPECS:
+        params[name] = {
+            "w": jnp.asarray(data[f"{name}_w"], jnp.float32),
+            "scale": jnp.asarray(data[f"{name}_scale"], jnp.float32),
+            "bias": jnp.asarray(data[f"{name}_bias"], jnp.float32),
+        }
+        if params[name]["w"].shape != (kh, kw, cin, cout):
+            raise ValueError(f"{name}: bad shape "
+                             f"{params[name]['w'].shape}")
+    return params
+
+
+def get_params(weights_path: str | None = None, seed: int = 0) -> dict:
+    if weights_path is None:
+        weights_path = os.environ.get(
+            "DPST_PSPNET_WEIGHTS",
+            os.path.join(os.path.dirname(__file__), "..", "..",
+                         "weights", "pspnet50_ade20k.npz"))
+    if weights_path and os.path.exists(weights_path):
+        return load_params(weights_path)
+    return init_params(seed)
+
+
+def _conv(params, name, x, stride=1, dilation=1, relu=True, cdt=None):
+    p = params[name]
+    w = p["w"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), "SAME", rhs_dilation=(dilation, dilation),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, _DN),
+        preferred_element_type=x.dtype)
+    y = y * p["scale"].astype(y.dtype) + p["bias"].astype(y.dtype)
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _bottleneck(params, prefix, x, mid_stride, dilation, project):
+    shortcut = x
+    y = _conv(params, f"{prefix}_a", x)
+    y = _conv(params, f"{prefix}_b", y, stride=mid_stride,
+              dilation=dilation)
+    y = _conv(params, f"{prefix}_c", y, relu=False)
+    if project:
+        shortcut = _conv(params, f"{prefix}_proj", x, stride=mid_stride,
+                         relu=False)
+    return jnp.maximum(y + shortcut, 0.0)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def forward(params: dict, images: jnp.ndarray,
+            compute_dtype: str = "bfloat16") -> jnp.ndarray:
+    """(B, 473, 473, 3) float [0,255] RGB -> (B, 473, 473, 150) logits."""
+    cdt = jnp.dtype(compute_dtype)
+    x = (images - jnp.asarray(RGB_MEAN)) / jnp.asarray(RGB_STD)
+    x = x.astype(cdt)
+
+    x = _conv(params, "stem1", x, stride=2)
+    x = _conv(params, "stem2", x)
+    x = _conv(params, "stem3", x)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+
+    for si, (blocks, _cout, stride, dilation) in enumerate(STAGES):
+        for b in range(blocks):
+            x = _bottleneck(params, f"res{si + 2}_{b}", x,
+                            mid_stride=stride if b == 0 else 1,
+                            dilation=dilation, project=(b == 0))
+
+    # pyramid pooling: adaptive average pool to each bin grid
+    feat = x                                   # (B, h, w, 2048), h = 60
+    bsz, h, w, _ = feat.shape
+    pooled = [feat]
+    for bin_ in PPM_BINS:
+        kh, kw = h // bin_, w // bin_
+        p = jax.lax.reduce_window(
+            feat, 0.0, jax.lax.add, (1, kh, kw, 1), (1, kh, kw, 1),
+            "VALID") / jnp.asarray(kh * kw, feat.dtype)
+        p = _conv(params, f"ppm{bin_}", p)
+        p = jax.image.resize(
+            p.astype(jnp.float32), (bsz, h, w, p.shape[-1]),
+            "bilinear").astype(feat.dtype)
+        pooled.append(p)
+    x = jnp.concatenate(pooled, axis=-1)
+    x = _conv(params, "fuse", x)
+    logits = _conv(params, "head", x, relu=False).astype(jnp.float32)
+    out = jax.image.resize(
+        logits, (bsz, images.shape[1], images.shape[2], N_CLASSES),
+        "bilinear")
+    return out
+
+
+def segment(params: dict, image: jnp.ndarray,
+            compute_dtype: str = "bfloat16") -> jnp.ndarray:
+    """(H, W, 3) [0,255] RGB -> (H, W) int32 ADE20K class map.
+
+    Runs the net at the fixed 473² eval resolution and resizes the class
+    scores back — one cached XLA program regardless of image size.
+    """
+    img = jnp.asarray(image, jnp.float32)
+    h, w = img.shape[:2]
+    x = jax.image.resize(img, (EVAL_SIZE, EVAL_SIZE, 3), "bilinear")
+    logits = forward(params, x[None], compute_dtype)[0]
+    logits = jax.image.resize(logits, (h, w, N_CLASSES), "bilinear")
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -37,14 +37,22 @@ def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
 
 
 def masked_gram(feat: jnp.ndarray, mask: jnp.ndarray,
-                eps: float = 1e-8) -> jnp.ndarray:
+                eps: float = 1e-8,
+                compute_dtype: str | jnp.dtype = "float32") -> jnp.ndarray:
     """Gram of mask-weighted features, normalized by effective pixel count.
 
     feat: (H, W, C); mask: (H, W) soft in [0,1].
     G = (M∘F)ᵀ(M∘F) / max(Σ m², eps)  — an all-zero mask yields G = 0.
+
+    compute_dtype: dtype of the masking multiply and matmul operands
+    (accumulation is always fp32). bfloat16 runs the MXU at full rate and
+    halves the HBM traffic of the per-class masked feature copies — use
+    the same dtype on the style-precompute and output sides so the Gram
+    difference stays unbiased.
     """
     h, w, c = feat.shape
-    fm = (feat.astype(jnp.float32) * mask[..., None]).reshape(h * w, c)
+    cdt = jnp.dtype(compute_dtype)
+    fm = (feat.astype(cdt) * mask[..., None].astype(cdt)).reshape(h * w, c)
     g = jnp.dot(fm.T, fm, preferred_element_type=jnp.float32)
     n = jnp.sum(mask * mask)
     return g / jnp.maximum(n, eps)
@@ -53,7 +61,9 @@ def masked_gram(feat: jnp.ndarray, mask: jnp.ndarray,
 def style_layer_loss(feat_out: jnp.ndarray,
                      style_grams: jnp.ndarray,
                      out_masks: jnp.ndarray,
-                     coverage: jnp.ndarray) -> jnp.ndarray:
+                     coverage: jnp.ndarray,
+                     compute_dtype: str | jnp.dtype = "float32"
+                     ) -> jnp.ndarray:
     """Masked Gram style loss for one VGG layer, summed over classes.
 
     feat_out:    (H, W, C) output-image features at this layer.
@@ -68,10 +78,11 @@ def style_layer_loss(feat_out: jnp.ndarray,
     """
     c = feat_out.shape[-1]
     scale = 1.0 / (4.0 * c * c)
+    feat_out = feat_out.astype(jnp.dtype(compute_dtype))  # cast ONCE
 
     def body(acc, inp):
         g_s, m, r = inp
-        g_o = masked_gram(feat_out, m)
+        g_o = masked_gram(feat_out, m, compute_dtype=compute_dtype)
         d = g_o - g_s
         return acc + r * scale * jnp.sum(d * d), None
 
@@ -81,12 +92,14 @@ def style_layer_loss(feat_out: jnp.ndarray,
 
 
 def style_loss(feats_out: dict, style_grams: dict, out_masks: dict,
-               coverage: jnp.ndarray, layer_weights: dict) -> jnp.ndarray:
+               coverage: jnp.ndarray, layer_weights: dict,
+               compute_dtype: str | jnp.dtype = "float32") -> jnp.ndarray:
     """Sum of per-layer masked style losses, weighted per layer."""
     total = jnp.float32(0.0)
     for layer, w in layer_weights.items():
         total = total + w * style_layer_loss(
-            feats_out[layer], style_grams[layer], out_masks[layer], coverage)
+            feats_out[layer], style_grams[layer], out_masks[layer],
+            coverage, compute_dtype)
     return total
 
 

@@ -72,7 +72,7 @@ def make_loss_fn(vgg_params: dict, cfg: StylizeConfig
 
         l_style = losses.style_loss(
             feats, consts.style_grams, consts.masks, consts.coverage,
-            style_lw)
+            style_lw, compute_dtype=cfg.compute_dtype)
 
         if cfg.use_photorealism and consts.lap_stats is not None:
             l_reg = lap.photoreal_loss(
@@ -153,23 +153,33 @@ def init_image(cfg: StylizeConfig, content: jnp.ndarray,
 def run(image0: jnp.ndarray, consts: StylizeConstants, weights: LossWeights,
         vgg_params: dict, cfg: StylizeConfig, iterations: int | None = None,
         callback: Callable[[int, jnp.ndarray, jnp.ndarray], None] | None
-        = None):
+        = None, checkpointer=None, resume: bool = False):
     """Full optimization at one scale.
 
     `callback(step, image, history_chunk)` fires every
     `cfg.intermediate_interval` steps (the reference's intermediate-dump
     UX); with no callback the whole run is ONE device dispatch.
-    Returns (final image, (iterations, 5) loss history).
+    `checkpointer` (utils.checkpoint.RunCheckpointer) saves
+    (step, image, opt_state) at the same cadence; `resume=True` continues
+    from its latest checkpoint (history then covers only the new steps).
+    Returns (final image, (iterations_run, 5) loss history).
     """
     loss_fn = make_loss_fn(vgg_params, cfg)
     opt = make_optimizer(cfg)
     opt_state = opt.init(image0)
     total_iters = cfg.iterations if iterations is None else iterations
 
-    interval = cfg.intermediate_interval if callback else 0
+    interval = cfg.intermediate_interval if (callback or checkpointer) \
+        else 0
+    if interval <= 0 and checkpointer is not None:
+        interval = 100
     image = image0
-    histories = []
     done = 0
+    if checkpointer is not None and resume:
+        restored = checkpointer.restore(image0, opt_state)
+        if restored is not None:
+            done, image, opt_state = restored
+    histories = []
     while done < total_iters:
         n = total_iters - done if interval <= 0 else min(
             interval, total_iters - done)
@@ -180,6 +190,8 @@ def run(image0: jnp.ndarray, consts: StylizeConstants, weights: LossWeights,
         histories.append(hist)
         if callback is not None:
             callback(done, image, hist)
+        if checkpointer is not None:
+            checkpointer.save(done, image, opt_state)
     history = jnp.concatenate(histories) if len(histories) > 1 else (
         histories[0] if histories else jnp.zeros((0, 5), jnp.float32))
     if not cfg.clip_pixels:

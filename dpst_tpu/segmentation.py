@@ -17,7 +17,8 @@ from .ops.resize import mask_pyramid
 
 
 def segment_images(content: np.ndarray, style: np.ndarray,
-                   params=None) -> tuple[np.ndarray, np.ndarray]:
+                   params=None, compute_dtype: str = "bfloat16"
+                   ) -> tuple[np.ndarray, np.ndarray]:
     """Run PSPNet on both images → per-pixel ADE20K class maps (H, W) int32.
 
     Weights come from the bundled `.npz` if present (tools/convert_pspnet.py
@@ -27,8 +28,8 @@ def segment_images(content: np.ndarray, style: np.ndarray,
     from .models import pspnet
     if params is None:
         params = pspnet.get_params()
-    seg_c = pspnet.segment(params, jnp.asarray(content))
-    seg_s = pspnet.segment(params, jnp.asarray(style))
+    seg_c = pspnet.segment(params, jnp.asarray(content), compute_dtype)
+    seg_s = pspnet.segment(params, jnp.asarray(style), compute_dtype)
     return np.asarray(seg_c), np.asarray(seg_s)
 
 
@@ -64,10 +65,12 @@ def automatic_masks(content: np.ndarray, style: np.ndarray,
     """Full automatic pipeline: segment both → merge label sets →
     aligned (K_max, H, W) mask stacks for content and style."""
     from . import semantic_merge
-    seg_c, seg_s = segment_images(content, style, params)
+    seg_c, seg_s = segment_images(content, style, params,
+                                  cfg.compute_dtype)
     merged_c, merged_s, class_ids = semantic_merge.merge_classes(
         seg_c, seg_s, metric=cfg.similarity_metric,
-        threshold=cfg.similarity_threshold)
+        threshold=cfg.similarity_threshold,
+        max_classes=cfg.max_classes)
     mc = masks_from_labels(merged_c, class_ids, cfg.max_classes)
     ms = masks_from_labels(merged_s, class_ids, cfg.max_classes)
     return mc, ms, class_ids

@@ -1,0 +1,50 @@
+"""NIMA-guided Γ auto-tuning (SURVEY.md §2 comp.12): sweep, scoring,
+bracketing — tiny shapes, CPU, candidates sharded over the virtual mesh."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pair():
+    r = np.random.default_rng(17)
+    content = r.uniform(0, 255, (24, 24, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (24, 24, 3)).astype(np.float32)
+    return content, style
+
+
+def _cfg():
+    from dpst_tpu import StylizeConfig
+    return StylizeConfig(use_segmentation=False, use_photorealism=False,
+                         compute_dtype="float32", iterations=6)
+
+
+def test_autotune_sweep(pair):
+    from dpst_tpu.autotune import autotune
+    content, style = pair
+    res = autotune(content, style, _cfg(), gammas=(1.0, 100.0, 10000.0))
+    assert res.best_gamma in (1.0, 100.0, 10000.0)
+    assert res.scores.shape == (3,)
+    assert np.all((res.scores >= 1.0) & (res.scores <= 10.0))
+    assert res.best_image.shape == content.shape
+    assert np.all(np.isfinite(res.best_image))
+    # the reported best really is the max-scoring candidate
+    assert res.scores[list(res.gammas).index(res.best_gamma)] \
+        == res.scores.max()
+
+
+def test_autotune_bracketing(pair):
+    from dpst_tpu.autotune import autotune
+    content, style = pair
+    res = autotune(content, style, _cfg(), gammas=(1.0, 100.0),
+                   rounds=2)
+    assert res.gammas.shape == (4,)   # 2 rounds × 2 candidates
+    assert res.scores.shape == (4,)
+    assert res.best_gamma in res.gammas
+
+
+def test_gamma_changes_output(pair):
+    """Different Γ must actually produce different stylizations."""
+    from dpst_tpu.autotune import autotune
+    content, style = pair
+    res = autotune(content, style, _cfg(), gammas=(0.0, 1000.0))
+    assert not np.allclose(res.images[0], res.images[1])

@@ -1,0 +1,111 @@
+"""CLI + checkpoint/resume end-to-end (tiny images, CPU)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dpst_tpu.utils import io
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+
+
+@pytest.fixture(scope="module")
+def image_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    r = np.random.default_rng(9)
+    c = str(d / "content.png")
+    s = str(d / "style.png")
+    io.save_image(r.uniform(0, 255, (32, 32, 3)), c)
+    io.save_image(r.uniform(0, 255, (32, 32, 3)), s)
+    return c, s, d
+
+
+def _run_cli(args):
+    return subprocess.run(
+        [sys.executable, "-m", "dpst_tpu"] + args,
+        capture_output=True, text=True, env=ENV,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_cli_basic(image_files):
+    c, s, d = image_files
+    out = str(d / "out.png")
+    r = _run_cli(["--content", c, "--style", s, "--output", out,
+                  "--size", "32", "--iterations", "5",
+                  "--no-segmentation", "--no-photorealism",
+                  "--dtype", "float32", "--no-compile-cache"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    assert "final losses" in r.stdout
+    img = io.load_image(out)
+    assert img.shape == (32, 32, 3)
+
+
+def test_cli_intermediates_and_csv(image_files):
+    c, s, d = image_files
+    out = str(d / "out2.png")
+    inter = str(d / "inter")
+    csv = str(d / "loss.csv")
+    r = _run_cli(["--content", c, "--style", s, "--output", out,
+                  "--size", "32", "--iterations", "6",
+                  "--intermediate-interval", "3",
+                  "--intermediate-dir", inter, "--loss-csv", csv,
+                  "--no-segmentation", "--no-photorealism",
+                  "--dtype", "float32", "--no-compile-cache"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert sorted(os.listdir(inter)) == ["iter_00003.png",
+                                         "iter_00006.png"]
+    hist = np.loadtxt(csv, delimiter=",", skiprows=1)
+    assert hist.shape == (6, 5)
+
+
+def test_cli_missing_content(image_files):
+    c, s, d = image_files
+    r = _run_cli(["--style", s])
+    assert r.returncode != 0
+    assert "--content" in r.stderr
+
+
+def test_checkpoint_resume(image_files, tmp_path):
+    """Interrupted run resumes from the orbax checkpoint (SURVEY.md §5)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dpst_tpu import StylizeConfig, stylize
+
+    c, s, d = image_files
+    ckpt = str(tmp_path / "ckpt")
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=4,
+                        intermediate_interval=2, checkpoint_dir=ckpt)
+    # run 4 steps (checkpoints at 2 and 4)
+    out1 = stylize(c, s, cfg)
+    assert len(os.listdir(ckpt)) > 0
+
+    # "resume" a longer run: should continue from step 4, not restart
+    cfg2 = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                         compute_dtype="float32", iterations=6,
+                         intermediate_interval=2, checkpoint_dir=ckpt)
+    out2, hist = stylize(c, s, cfg2, resume=True, return_history=True)
+    assert hist.shape[0] == 2  # only steps 5..6 were newly run
+    assert np.all(np.isfinite(out2))
+
+
+def test_resume_equals_straight_run(image_files, tmp_path):
+    """4 steps + resume(4 more) ≡ 8 straight steps (same trajectory)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dpst_tpu import StylizeConfig, stylize
+
+    c, s, d = image_files
+    base = dict(use_segmentation=False, use_photorealism=False,
+                compute_dtype="float32", intermediate_interval=4)
+    straight = stylize(c, s, StylizeConfig(iterations=8, **base))
+
+    ckpt = str(tmp_path / "ckpt2")
+    stylize(c, s, StylizeConfig(iterations=4, checkpoint_dir=ckpt, **base))
+    resumed = stylize(c, s, StylizeConfig(iterations=8,
+                                          checkpoint_dir=ckpt, **base),
+                      resume=True)
+    np.testing.assert_allclose(resumed, straight, atol=0.5, rtol=1e-2)
