@@ -153,19 +153,19 @@ def matvec_xla(stats: LaplacianStats, v: jnp.ndarray) -> jnp.ndarray:
 
 def matvec(stats: LaplacianStats, v: jnp.ndarray,
            impl: str = "auto") -> jnp.ndarray:
-    """Dispatch between the XLA and Pallas matvec implementations."""
-    if impl == "xla":
+    """Dispatch between the XLA and Pallas matvec implementations.
+
+    "auto" currently resolves to the XLA path on every backend: the two
+    implementations are numerically equivalent (tests), the XLA one costs
+    ~2% of a full optimization step at 512², and this environment's TPU
+    runtime has faulted on the compiled Pallas kernel — "pallas" stays
+    explicitly opt-in until it is proven stable on-device.
+    """
+    if impl in ("xla", "auto"):
         return matvec_xla(stats, v)
-    if impl in ("pallas", "auto"):
-        try:
-            from .laplacian_pallas import matvec_pallas
-        except ImportError:
-            if impl == "pallas":
-                raise
-            return matvec_xla(stats, v)
-        if impl == "pallas" or jax.default_backend() == "tpu":
-            return matvec_pallas(stats, v)
-        return matvec_xla(stats, v)
+    if impl == "pallas":
+        from .laplacian_pallas import matvec_pallas
+        return matvec_pallas(stats, v)
     raise ValueError(f"unknown laplacian impl {impl!r}")
 
 
