@@ -120,7 +120,8 @@ def extract_features(params: dict, image: jnp.ndarray,
       pooling: "max" | "avg".
       compute_dtype: dtype convs run in; accumulation is always fp32.
 
-    Returns: {layer: (B, H_l, W_l, C_l) float32}; batch dim added if absent.
+    Returns: {layer: (B, H_l, W_l, C_l)} in the compute dtype; batch dim
+    added if absent.
     """
     squeeze = image.ndim == 3
     if squeeze:
@@ -147,8 +148,11 @@ def extract_features(params: dict, image: jnp.ndarray,
         x = x + p["b"].astype(cdt)
         x = jnp.maximum(x, 0.0)
         if name in layers:
-            tap = x.astype(jnp.float32)
-            taps[name] = tap[0] if squeeze else tap
+            # taps stay in the compute dtype: the style loss immediately
+            # re-casts to it for the Gram matmuls, so fp32 taps would be
+            # a pure HBM round-trip (~100 MB/step at 512²); loss math
+            # accumulates in fp32 regardless.
+            taps[name] = x[0] if squeeze else x
     return taps
 
 

@@ -1,0 +1,99 @@
+"""Spatial (resolution) sharding: one huge image across the whole slice.
+
+SURVEY.md §2 "Parallelism strategies" notes this workload has no
+sequences — its analogue of long-context/sequence parallelism is HIGH
+RESOLUTION. This module shards the image's ROW axis over the device mesh
+and runs the unmodified optimization loop under SPMD: XLA inserts the
+halo exchanges (collective-permutes over ICI) that the VGG convs,
+pooling, and the Laplacian's 3×3 box-filter stencils need at shard
+boundaries — the TPU-native equivalent of hand-written halo-exchange
+comm code, with zero changes to the compute path.
+
+Use when a single stylization exceeds one chip's HBM (≥4k² with VGG
+activations) or to cut wall-clock for one pair on an idle slice.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import optimize
+from ..api import prepare_constants
+from ..config import StylizeConfig
+
+ROW_AXIS = "rows"
+
+
+def make_spatial_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (ROW_AXIS,))
+
+
+def _row_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
+    spec = [None] * ndim
+    spec[axis] = ROW_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_spatial(consts: optimize.StylizeConstants, image: jnp.ndarray,
+                  mesh: Mesh):
+    """Lay out the image and every per-pixel constant row-sharded; scalars
+    and Grams replicated. XLA propagates shardings from there."""
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        x = jnp.asarray(x)
+        # shard anything carrying a spatial row axis compatible with the
+        # mesh; replicate small per-class/scalar data
+        if x.ndim >= 2 and x.shape[0] % mesh.devices.size == 0 \
+                and x.shape[0] >= mesh.devices.size * 8:
+            return jax.device_put(x, _row_sharding(mesh, x.ndim, 0))
+        if x.ndim >= 3 and x.shape[1] % mesh.devices.size == 0 \
+                and x.shape[1] >= mesh.devices.size * 8:
+            # (K, H, W) mask stacks / (P, H, W) planes: rows are axis 1
+            return jax.device_put(x, _row_sharding(mesh, x.ndim, 1))
+        return jax.device_put(x, repl)
+
+    image = jax.device_put(jnp.asarray(image),
+                           _row_sharding(mesh, 3, 0))
+    consts = jax.tree.map(place, consts)
+    return consts, image
+
+
+def stylize_spatial(content, style, content_masks, style_masks,
+                    cfg: StylizeConfig | None = None,
+                    vgg_params: dict | None = None,
+                    mesh: Mesh | None = None):
+    """Stylize ONE pair with the image row-sharded over the mesh.
+
+    content/style: (H, W, 3) [0,255]; masks: (K, H, W). H must divide by
+    the mesh size. Returns (image, history) exactly like optimize.run —
+    same math, different layout.
+    """
+    cfg = cfg or StylizeConfig()
+    if vgg_params is None:
+        from ..models import vgg
+        vgg_params = vgg.get_params(seed=cfg.seed)
+    if mesh is None:
+        mesh = make_spatial_mesh()
+    n = mesh.devices.size
+    h = np.asarray(content).shape[0]
+    if h % n:
+        raise ValueError(f"image rows {h} not divisible by mesh size {n}")
+
+    with jax.set_mesh(mesh):
+        consts = prepare_constants(
+            jnp.asarray(content, jnp.float32),
+            jnp.asarray(style, jnp.float32),
+            jnp.asarray(content_masks, jnp.float32),
+            jnp.asarray(style_masks, jnp.float32), cfg, vgg_params)
+        image0 = optimize.init_image(cfg, jnp.asarray(content))
+        consts, image0 = shard_spatial(consts, image0, mesh)
+        image, history = optimize.run(
+            image0, consts, optimize.LossWeights.from_config(cfg),
+            vgg_params, cfg)
+    return image, history

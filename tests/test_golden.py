@@ -1,0 +1,40 @@
+"""Golden-output regression (SURVEY.md §4 integration tests): the full
+config-3 pipeline (content + Gram style + Laplacian photorealism, fp32,
+fixed seeds) must keep producing the committed golden image within a
+tight SSIM bound, and its loss trajectory must stay on the committed
+curve. Guards against silent behavioral drift of any loss term,
+the optimizer loop, or the Laplacian operator across refactors."""
+import os
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _pair():
+    r = np.random.default_rng(1234)
+    content = r.uniform(0, 255, (48, 48, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (48, 48, 3)).astype(np.float32)
+    return content, style
+
+
+def test_golden_config3():
+    from dpst_tpu import StylizeConfig, stylize
+    from dpst_tpu.ops.metrics import ssim
+
+    content, style = _pair()
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=True,
+                        laplacian_impl="xla", compute_dtype="float32",
+                        iterations=60, regularization_weight=100.0)
+    out, hist = stylize(content, style, cfg, return_history=True)
+
+    golden = np.load(os.path.join(GOLDEN_DIR, "config3_48px.npy"))
+    s = float(ssim(out, golden))
+    assert s >= 0.98, f"SSIM vs golden = {s}"
+
+    golden_loss = np.load(
+        os.path.join(GOLDEN_DIR, "config3_48px_loss.npy"))
+    np.testing.assert_allclose(np.asarray(hist[:, 0]), golden_loss,
+                               rtol=5e-3)
+    # convergence quality: ~11x loss reduction on the golden run
+    assert hist[0, 0] / hist[-1, 0] > 8.0

@@ -1,0 +1,78 @@
+"""Spatial (row-sharded) stylization ≡ single-device run: XLA SPMD must
+insert correct halo exchanges for the VGG convs + Laplacian stencils
+(SURVEY.md §2 parallelism stretch goal; 8-device virtual CPU mesh)."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pair():
+    r = np.random.default_rng(41)
+    content = r.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+    masks_c = np.zeros((2, 64, 64), np.float32)
+    masks_c[0, :32] = 1.0
+    masks_c[1, 32:] = 1.0
+    masks_s = masks_c.copy()
+    return content, style, masks_c, masks_s
+
+
+def _cfg():
+    from dpst_tpu import StylizeConfig
+    return StylizeConfig(use_segmentation=True, use_photorealism=True,
+                         laplacian_impl="xla", compute_dtype="float32",
+                         max_classes=2, iterations=6)
+
+
+def test_spatial_matches_single_device(pair):
+    import jax
+    import jax.numpy as jnp
+    from dpst_tpu import optimize, prepare_constants
+    from dpst_tpu.models import vgg
+    from dpst_tpu.parallel.spatial import make_spatial_mesh, \
+        stylize_spatial
+
+    content, style, mc, ms = pair
+    cfg = _cfg()
+    params = vgg.init_params(seed=0)
+
+    mesh = make_spatial_mesh(4)
+    img_sp, hist_sp = stylize_spatial(
+        content, style, mc, ms, cfg=cfg, vgg_params=params, mesh=mesh)
+
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(mc),
+        jnp.asarray(ms), cfg, params)
+    img0 = optimize.init_image(cfg, jnp.asarray(content))
+    img_1d, hist_1d = optimize.run(
+        img0, consts, optimize.LossWeights.from_config(cfg), params, cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(hist_sp)[:, 0], np.asarray(hist_1d)[:, 0], rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(img_sp), np.asarray(img_1d), rtol=1e-2, atol=0.25)
+
+
+def test_spatial_rejects_indivisible_rows(pair):
+    from dpst_tpu.parallel.spatial import make_spatial_mesh, \
+        stylize_spatial
+    content, style, mc, ms = pair
+    with pytest.raises(ValueError, match="not divisible"):
+        stylize_spatial(content[:63], style, mc[:, :63], ms,
+                        cfg=_cfg(), mesh=make_spatial_mesh(4))
+
+
+def test_image_actually_sharded(pair):
+    """The output image must come back row-sharded over the mesh."""
+    import jax
+    from dpst_tpu.models import vgg
+    from dpst_tpu.parallel.spatial import make_spatial_mesh, \
+        stylize_spatial
+
+    content, style, mc, ms = pair
+    mesh = make_spatial_mesh(4)
+    img, _ = stylize_spatial(content, style, mc, ms, cfg=_cfg(),
+                             vgg_params=vgg.init_params(seed=0),
+                             mesh=mesh)
+    shard_shapes = {s.data.shape for s in img.addressable_shards}
+    assert shard_shapes == {(16, 64, 3)}, shard_shapes
