@@ -83,3 +83,17 @@ def test_tv_loss(rng):
     assert float(losses.tv_loss(jnp.asarray(flat))) == 0.0
     noisy = rng.normal(size=(8, 8, 3)).astype(np.float32)
     assert float(losses.tv_loss(jnp.asarray(noisy))) > 0.0
+
+
+def test_fused_grams_match_per_class(rng):
+    """masked_grams_fused ≡ K independent masked_gram calls."""
+    import jax.numpy as jnp
+    f = rng.normal(size=(16, 12, 8)).astype(np.float32)
+    masks = rng.uniform(size=(3, 16, 12)).astype(np.float32)
+    fused = np.asarray(losses.masked_grams_fused(
+        jnp.asarray(f), jnp.asarray(masks)))
+    for k in range(3):
+        single = np.asarray(losses.masked_gram(
+            jnp.asarray(f), jnp.asarray(masks[k])))
+        np.testing.assert_allclose(fused[k], single, rtol=1e-4,
+                                   atol=1e-6, err_msg=f"class {k}")
