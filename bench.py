@@ -13,13 +13,29 @@ north-star target is the bar.
 Prints ONE JSON line.
 """
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
+WATCHDOG_SECS = 540
+
+
+def _watchdog(signum, frame):
+    # The axon TPU worker can wedge (observed after Pallas kernel faults);
+    # emit a parseable failure line instead of hanging the driver.
+    print(json.dumps({
+        "metric": "iters/sec @ 512x512 full deep-photo (1 chip)",
+        "value": 0.0, "unit": "iters/sec", "vs_baseline": 0.0,
+        "error": f"bench watchdog fired after {WATCHDOG_SECS}s "
+                 "(TPU worker unresponsive)"}), flush=True)
+    sys.exit(2)
+
 
 def main():
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_SECS)
     from dpst_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
 
@@ -83,6 +99,7 @@ def main():
         loss_fn=loss_fn, opt=opt, n_steps=TIMED, cfg=cfg))
     dt = time.perf_counter() - t0
 
+    signal.alarm(0)
     assert bool(jnp.all(jnp.isfinite(hist))), "non-finite losses in bench"
     ips = TIMED / dt
     wall_500 = ITERS_TARGET / ips + t_pre

@@ -15,5 +15,19 @@ Public surface:
 from .api import prepare_constants, stylize
 from .config import PRESETS, StylizeConfig
 
-__all__ = ["stylize", "prepare_constants", "StylizeConfig", "PRESETS"]
+
+def autotune(*args, **kwargs):
+    """NIMA-guided style-weight search — see dpst_tpu.autotune.autotune."""
+    from .autotune import autotune as _autotune
+    return _autotune(*args, **kwargs)
+
+
+def stylize_batch(*args, **kwargs):
+    """Sharded multi-pair stylization — see dpst_tpu.parallel.batch."""
+    from .parallel.batch import stylize_batch as _stylize_batch
+    return _stylize_batch(*args, **kwargs)
+
+
+__all__ = ["stylize", "prepare_constants", "StylizeConfig", "PRESETS",
+           "autotune", "stylize_batch"]
 __version__ = "0.1.0"

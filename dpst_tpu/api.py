@@ -7,6 +7,7 @@ and is passed to the scan'd optimizer loop as traced constants.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Callable
 
@@ -114,6 +115,18 @@ def stylize(content, style, config: StylizeConfig | None = None, *,
     (and the (iters, 5) loss history if `return_history`).
     """
     cfg = config or StylizeConfig()
+    if cfg.debug_nans:
+        from .utils.runtime import enable_debug_nans
+        enable_debug_nans()
+    if cfg.profile_dir:
+        from .utils.runtime import maybe_profile
+        with maybe_profile(cfg.profile_dir):
+            return stylize(
+                content, style, dataclasses.replace(cfg, profile_dir=""),
+                size=size, content_masks=content_masks,
+                style_masks=style_masks, vgg_params=vgg_params,
+                seg_params=seg_params, callback=callback, resume=resume,
+                return_history=return_history)
     content_np = io.load_image(content, size)
     hw = content_np.shape[:2]
     style_np = io.load_image(style, hw)

@@ -73,3 +73,32 @@ def test_size_argument(pair):
                         compute_dtype="float32", iterations=3)
     out = stylize(content, style, cfg, size=(24, 24))
     assert out.shape == (24, 24, 3)
+
+
+def test_presets_valid():
+    from dpst_tpu import PRESETS, StylizeConfig
+    assert set(PRESETS) == {f"config{i}" for i in range(1, 6)}
+    for cfg in PRESETS.values():
+        assert isinstance(cfg, StylizeConfig)
+        hash(cfg)  # jit-static requirement
+
+
+def test_profile_dir_library_path(pair, tmp_path):
+    import os
+    content, style = pair
+    from dpst_tpu import StylizeConfig, stylize
+    d = str(tmp_path / "prof")
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=3,
+                        profile_dir=d)
+    out = stylize(content, style, cfg)
+    assert out.shape == content.shape
+    files = [f for r, _, fs in os.walk(d) for f in fs]
+    assert files, "no profiler trace written via cfg.profile_dir"
+
+
+def test_top_level_exports():
+    import dpst_tpu
+    for name in ("stylize", "prepare_constants", "StylizeConfig",
+                 "PRESETS", "autotune", "stylize_batch"):
+        assert hasattr(dpst_tpu, name), name
