@@ -49,8 +49,8 @@ def _sweep(image0, consts, gammas, vgg_params, cfg: StylizeConfig,
     Constants and the initial image are broadcast (in_axes=None) — only
     the style weight varies across the candidate axis.
     """
-    loss_fn = optimize.make_loss_fn(vgg_params, cfg)
-    opt = optimize.make_optimizer(cfg)
+    loop_cfg = cfg.loop_config()
+    opt = optimize.make_optimizer(loop_cfg)
 
     def run_one(gamma):
         weights = optimize.LossWeights(
@@ -58,8 +58,8 @@ def _sweep(image0, consts, gammas, vgg_params, cfg: StylizeConfig,
             reg=jnp.float32(cfg.regularization_weight),
             tv=jnp.float32(cfg.tv_weight))
         img, _, hist = optimize.run_segment(
-            image0, opt.init(image0), consts, weights,
-            loss_fn=loss_fn, opt=opt, n_steps=n_steps, cfg=cfg)
+            image0, opt.init(image0), consts, weights, vgg_params,
+            n_steps=n_steps, cfg=loop_cfg)
         return img, hist
 
     return jax.vmap(run_one)(gammas)

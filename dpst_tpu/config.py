@@ -74,6 +74,30 @@ class StylizeConfig:
     profile_dir: str = ""                # jax.profiler trace; "" = disabled
     debug_nans: bool = False
 
+    def loop_config(self) -> "StylizeConfig":
+        """Canonical sub-config for the hot loop's jit static key.
+
+        Only the fields the scan'd optimizer actually reads survive;
+        everything else (scale schedule, iteration counts, segmentation
+        knobs, checkpoint paths, seeds) is neutralized — so two runs that
+        differ only in those fields share one compiled executable.
+        `tv_weight` is normalized to its truthiness (the loss builder
+        reads it statically only to include/exclude the term; the actual
+        weight is traced).
+        """
+        return dataclasses.replace(
+            self,
+            content_weight=1.0, style_weight=1.0,
+            regularization_weight=1.0,
+            tv_weight=1.0 if self.tv_weight else 0.0,
+            iterations=0, init_mode="content", init_noise_scale=0.0,
+            seed=0, scales=(), scale_iter_factor=1.0,
+            use_segmentation=False, max_classes=0,
+            similarity_metric="grouped", similarity_threshold=0.0,
+            mask_downsample="avg", matting_epsilon=0.0,
+            intermediate_interval=0, checkpoint_dir="", profile_dir="",
+            debug_nans=False)
+
     def __post_init__(self):
         if len(self.style_layer_weights) != len(self.style_layers):
             raise ValueError(

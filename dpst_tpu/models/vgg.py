@@ -95,10 +95,55 @@ def preprocess(image: jnp.ndarray) -> jnp.ndarray:
     return bgr - jnp.asarray(BGR_MEANS, image.dtype)
 
 
+def _upsample2(y: jnp.ndarray) -> jnp.ndarray:
+    """2×2 nearest upsample of (B, h, w, C) -> (B, 2h, 2w, C)."""
+    b, h, w, c = y.shape
+    y = jnp.broadcast_to(y[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return y.reshape(b, 2 * h, 2 * w, c)
+
+
+@jax.custom_vjp
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def _maxpool2_fwd(x):
+    y = _maxpool2(x)
+    return y, (x, y)
+
+
+def _maxpool2_bwd(res, g):
+    """Max-pool gradient as pure elementwise math.
+
+    XLA's native max-pool transpose lowers to `select_and_scatter`, which
+    measured at ~20% of the whole optimization step on v5e. Instead:
+    re-find the max by comparing the input with the upsampled output and
+    split the cotangent equally among tied positions (a window of equal
+    values shares the gradient — ties get g/n_ties rather than
+    first-index-takes-all; total gradient mass is identical and flat
+    image regions behave better numerically).
+    """
+    x, y = res
+    b, h2, w2, c = y.shape
+    xc = x[:, : 2 * h2, : 2 * w2, :]
+    mask = (xc == _upsample2(y)).astype(g.dtype)
+    ties = jax.lax.reduce_window(
+        mask, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    gx = mask * _upsample2(g / jnp.maximum(ties, 1.0))
+    pad_h = x.shape[1] - 2 * h2
+    pad_w = x.shape[2] - 2 * w2
+    if pad_h or pad_w:  # odd trailing row/col never entered the pool
+        gx = jnp.pad(gx, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    return (gx,)
+
+
+_maxpool2.defvjp(_maxpool2_fwd, _maxpool2_bwd)
+
+
 def _pool(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     if kind == "max":
-        return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return _maxpool2(x)
     # average pooling (Gatys-style alternative)
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")

@@ -10,7 +10,7 @@ in the scan carry outputs, no host sync until the user looks at it).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -49,18 +49,22 @@ class StylizeConstants(NamedTuple):
     lap_stats: Any              # LaplacianStats | None
 
 
-def make_loss_fn(vgg_params: dict, cfg: StylizeConfig
-                 ) -> Callable[..., tuple]:
-    """Build loss(image, consts, weights) -> (total, terms) for `cfg`.
+@lru_cache(maxsize=64)
+def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
+    """Build loss(image, consts, weights, vgg_params) -> (total, terms).
 
-    Static structure (layer set, pooling, dtypes, Laplacian impl) is closed
-    over; all data (image, consts, weights) is traced.
+    Static structure (layer set, pooling, dtypes, Laplacian impl) comes
+    from `cfg`; ALL data — image, constants, loss weights, and the VGG
+    parameters — is traced. Passing params as arguments (rather than
+    closing over them) keeps 80 MB of weights out of the jaxpr constants
+    and makes the jit cache key independent of parameter identity.
+    Memoized so repeated runs share one closure (and thus one executable).
     """
     style_lw = dict(zip(cfg.style_layers, cfg.style_layer_weights))
     all_layers = tuple(dict.fromkeys(cfg.style_layers + cfg.content_layers))
 
     def loss_fn(image: jnp.ndarray, consts: StylizeConstants,
-                weights: LossWeights):
+                weights: LossWeights, vgg_params: dict):
         feats = vgg.extract_features(
             vgg_params, image, all_layers,
             pooling=cfg.pooling, compute_dtype=cfg.compute_dtype)
@@ -90,6 +94,7 @@ def make_loss_fn(vgg_params: dict, cfg: StylizeConfig
     return loss_fn
 
 
+@lru_cache(maxsize=64)
 def make_optimizer(cfg: StylizeConfig) -> optax.GradientTransformation:
     if cfg.optimizer == "adam":
         return optax.adam(cfg.learning_rate, b1=cfg.adam_b1, b2=cfg.adam_b2,
@@ -97,27 +102,33 @@ def make_optimizer(cfg: StylizeConfig) -> optax.GradientTransformation:
     return optax.lbfgs()
 
 
-@partial(jax.jit, static_argnames=("loss_fn", "opt", "n_steps", "cfg"))
+@partial(jax.jit, static_argnames=("n_steps", "cfg"))
 def run_segment(image: jnp.ndarray, opt_state, consts: StylizeConstants,
-                weights: LossWeights, *, loss_fn, opt, n_steps: int,
+                weights: LossWeights, vgg_params: dict, *, n_steps: int,
                 cfg: StylizeConfig):
     """Run `n_steps` optimizer steps fully on device (one lax.scan).
 
+    The jit cache key is (shapes, n_steps, cfg) — pass
+    `cfg.loop_config()` so runs differing only in non-loop fields (scale
+    schedule, iteration budget, segmentation knobs) share the executable.
     Returns (image, opt_state, history) with history (n_steps, 5) fp32 —
     [total, content, style, photoreal, tv] per step.
     """
+    loss_fn = make_loss_fn(cfg)
+    opt = make_optimizer(cfg)
     if cfg.optimizer == "adam":
         def step(carry, _):
             img, st = carry
             (_, terms), grad = jax.value_and_grad(
-                loss_fn, has_aux=True)(img, consts, weights)
+                loss_fn, has_aux=True)(img, consts, weights, vgg_params)
             updates, st = opt.update(grad, st, img)
             img = optax.apply_updates(img, updates)
             if cfg.clip_pixels:
                 img = jnp.clip(img, 0.0, 255.0)
             return (img, st), terms
     else:  # lbfgs — linesearch needs value_fn; no per-step clipping
-        scalar_loss = lambda img: loss_fn(img, consts, weights)[0]
+        scalar_loss = lambda img: loss_fn(img, consts, weights,
+                                          vgg_params)[0]
         vg = optax.value_and_grad_from_state(scalar_loss)
 
         def step(carry, _):
@@ -164,8 +175,8 @@ def run(image0: jnp.ndarray, consts: StylizeConstants, weights: LossWeights,
     from its latest checkpoint (history then covers only the new steps).
     Returns (final image, (iterations_run, 5) loss history).
     """
-    loss_fn = make_loss_fn(vgg_params, cfg)
-    opt = make_optimizer(cfg)
+    loop_cfg = cfg.loop_config()
+    opt = make_optimizer(loop_cfg)
     opt_state = opt.init(image0)
     total_iters = cfg.iterations if iterations is None else iterations
 
@@ -184,8 +195,8 @@ def run(image0: jnp.ndarray, consts: StylizeConstants, weights: LossWeights,
         n = total_iters - done if interval <= 0 else min(
             interval, total_iters - done)
         image, opt_state, hist = run_segment(
-            image, opt_state, consts, weights,
-            loss_fn=loss_fn, opt=opt, n_steps=n, cfg=cfg)
+            image, opt_state, consts, weights, vgg_params,
+            n_steps=n, cfg=loop_cfg)
         done += n
         histories.append(hist)
         if callback is not None:

@@ -45,14 +45,14 @@ def run_batch(images, consts, weights, vgg_params, cfg: StylizeConfig,
     `per_pair_weights` (the Γ-sweep case).
     Returns (images, history (B, n_steps, 5)).
     """
-    loss_fn = optimize.make_loss_fn(vgg_params, cfg)
-    opt = optimize.make_optimizer(cfg)
+    loop_cfg = cfg.loop_config()
+    opt = optimize.make_optimizer(loop_cfg)
 
     def run_one(image, consts_one, weights_one):
         opt_state = opt.init(image)
         img, _, hist = optimize.run_segment(
-            image, opt_state, consts_one, weights_one,
-            loss_fn=loss_fn, opt=opt, n_steps=n_steps, cfg=cfg)
+            image, opt_state, consts_one, weights_one, vgg_params,
+            n_steps=n_steps, cfg=loop_cfg)
         return img, hist
 
     w_axes = optimize.LossWeights(0, 0, 0, 0) if per_pair_weights else None

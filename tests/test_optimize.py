@@ -48,17 +48,19 @@ def test_scan_matches_unrolled(small_images, vgg_params_small):
     """The lax.scan trajectory must equal a hand-driven python loop
     (SURVEY.md §4 device tests)."""
     image0, consts, weights = _setup(small_images, vgg_params_small)
-    loss_fn = optimize.make_loss_fn(vgg_params_small, CFG)
-    opt = optimize.make_optimizer(CFG)
+    loop_cfg = CFG.loop_config()
+    loss_fn = optimize.make_loss_fn(loop_cfg)
+    opt = optimize.make_optimizer(loop_cfg)
 
     img_scan, st, hist = optimize.run_segment(
-        image0, opt.init(image0), consts, weights,
-        loss_fn=loss_fn, opt=opt, n_steps=5, cfg=CFG)
+        image0, opt.init(image0), consts, weights, vgg_params_small,
+        n_steps=5, cfg=loop_cfg)
 
     @jax.jit
     def one_step(img, state):
         (_, terms), grad = jax.value_and_grad(
-            loss_fn, has_aux=True)(img, consts, weights)
+            loss_fn, has_aux=True)(img, consts, weights,
+                                   vgg_params_small)
         updates, state = opt.update(grad, state, img)
         img = optax.apply_updates(img, updates)
         return jnp.clip(img, 0.0, 255.0), state
