@@ -155,17 +155,20 @@ def matvec(stats: LaplacianStats, v: jnp.ndarray,
            impl: str = "auto") -> jnp.ndarray:
     """Dispatch between the XLA and Pallas matvec implementations.
 
-    "auto" currently resolves to the XLA path on every backend: the two
-    implementations are numerically equivalent (tests), the XLA one costs
-    ~2% of a full optimization step at 512², and this environment's TPU
-    runtime has faulted on the compiled Pallas kernel — "pallas" stays
-    explicitly opt-in until it is proven stable on-device.
+    "auto" → the fused Pallas kernel on TPU (measured 1.13× the XLA path
+    in-graph at 512²: 0.389 vs 0.441 ms/matvec on v5e), XLA elsewhere
+    (the kernel runs interpret-mode off-TPU — correct but slow).
+    Both implementations are validated against each other and the scipy
+    CSR oracle.
     """
-    if impl in ("xla", "auto"):
+    if impl == "xla":
         return matvec_xla(stats, v)
-    if impl == "pallas":
+    if impl == "pallas" or (impl == "auto"
+                            and jax.default_backend() == "tpu"):
         from .laplacian_pallas import matvec_pallas
         return matvec_pallas(stats, v)
+    if impl == "auto":
+        return matvec_xla(stats, v)
     raise ValueError(f"unknown laplacian impl {impl!r}")
 
 

@@ -47,10 +47,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_tile_rows(wp: int) -> int:
-    """Row band size: 3 resident copies of 17 planes + temporaries."""
+    """Row band size: 3 stats copies + 3 one-plane v copies (double-
+    buffered by the pipeline) + kernel temporaries, all (tr, wp) fp32."""
     for tr in (256, 128, 64, 32, 16, 8):
-        # ~(3×17 double-buffered ≈ 102) + 20 temp planes of (tr, wp) fp32
-        if 122 * tr * wp * 4 <= _VMEM_BUDGET:
+        if 110 * tr * wp * 4 <= _VMEM_BUDGET:
             return tr
     return 8
 
@@ -107,6 +107,14 @@ def _slab(prev_ref, cur_ref, next_ref, plane):
 
 def _lap_matvec_kernel(sp_ref, sc_ref, sn_ref, vp_ref, vc_ref, vn_ref,
                        out_ref):
+    """One (row-band, channel) grid cell.
+
+    The channel is the FASTEST grid dimension and the stats block index
+    maps ignore it, so the Pallas pipeline fetches each stats slab once
+    per row band and reuses it for all three channels; only the 1-plane
+    v slab changes per grid step. Keeping one channel per instance also
+    cuts the unrolled body (Mosaic compile time) and live VMEM ~3×.
+    """
     inv_w = np.float32(1.0 / WIN)
 
     st = [_slab(sp_ref, sc_ref, sn_ref, m) for m in range(N_STATS)]
@@ -117,19 +125,18 @@ def _lap_matvec_kernel(sp_ref, sc_ref, sn_ref, vp_ref, vc_ref, vn_ref,
     nwin_o = st[13][2:-2]
     sym = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
 
-    for c in range(3):
-        vc = _slab(vp_ref, vc_ref, vn_ref, c)
-        s = _rbox(_cbox(vc))                       # (TR+2, Wp)
-        t = [_rbox(_cbox(img[m] * vc)) - mu_c[m] * s for m in range(3)]
-        b = [lam_c[sym[m][0]] * t[0] + lam_c[sym[m][1]] * t[1]
-             + lam_c[sym[m][2]] * t[2] for m in range(3)]
-        mub = mu_c[0] * b[0] + mu_c[1] * b[1] + mu_c[2] * b[2]
-        alpha = (mub - s) * inv_w * valid_c
-        y = nwin_o * vc[2:-2] + _rbox(_cbox(alpha))
-        for m in range(3):
-            beta_m = -inv_w * b[m] * valid_c
-            y = y + img[m][2:-2] * _rbox(_cbox(beta_m))
-        out_ref[c] = y
+    vc = _slab(vp_ref, vc_ref, vn_ref, 0)
+    s = _rbox(_cbox(vc))                           # (TR+2, Wp)
+    t = [_rbox(_cbox(img[m] * vc)) - mu_c[m] * s for m in range(3)]
+    b = [lam_c[sym[m][0]] * t[0] + lam_c[sym[m][1]] * t[1]
+         + lam_c[sym[m][2]] * t[2] for m in range(3)]
+    mub = mu_c[0] * b[0] + mu_c[1] * b[1] + mu_c[2] * b[2]
+    alpha = (mub - s) * inv_w * valid_c
+    y = nwin_o * vc[2:-2] + _rbox(_cbox(alpha))
+    for m in range(3):
+        beta_m = -inv_w * b[m] * valid_c
+        y = y + img[m][2:-2] * _rbox(_cbox(beta_m))
+    out_ref[0] = y
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -144,20 +151,26 @@ def _matvec_padded(stats_packed: jnp.ndarray, v3: jnp.ndarray,
         return pl.BlockSpec((p, tr, wp), index_fn,
                             memory_space=pltpu.VMEM)
 
-    prev = lambda i: (0, i, 0)               # padded-row space: tile i
-    cur = lambda i: (0, i + 1, 0)
-    nxt = lambda i: (0, i + 2, 0)
+    # grid = (row band, channel); channel fastest. Stats maps ignore c →
+    # the pipeline re-fetches stats only when the band changes.
+    s_prev = lambda i, c: (0, i, 0)          # padded-row space: tile i
+    s_cur = lambda i, c: (0, i + 1, 0)
+    s_nxt = lambda i, c: (0, i + 2, 0)
+    v_prev = lambda i, c: (c, i, 0)
+    v_cur = lambda i, c: (c, i + 1, 0)
+    v_nxt = lambda i, c: (c, i + 2, 0)
 
     return pl.pallas_call(
         _lap_matvec_kernel,
         out_shape=jax.ShapeDtypeStruct((3, hp - 2 * tr, wp),
                                        jnp.float32),
-        grid=(n_tiles,),
+        grid=(n_tiles, 3),
         in_specs=[
-            spec(N_STATS, prev), spec(N_STATS, cur), spec(N_STATS, nxt),
-            spec(3, prev), spec(3, cur), spec(3, nxt),
+            spec(N_STATS, s_prev), spec(N_STATS, s_cur),
+            spec(N_STATS, s_nxt),
+            spec(1, v_prev), spec(1, v_cur), spec(1, v_nxt),
         ],
-        out_specs=spec(3, lambda i: (0, i, 0)),
+        out_specs=spec(1, lambda i, c: (c, i, 0)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(_VMEM_BUDGET * 1.6)),
         cost_estimate=pl.CostEstimate(

@@ -106,3 +106,27 @@ def test_lbfgs_runs(small_images, vgg_params_small):
     hist = np.asarray(hist)
     assert np.all(np.isfinite(np.asarray(image)))
     assert hist[-1, 0] < hist[0, 0]
+
+
+def test_loop_config_canonicalization():
+    """Configs differing only in non-loop fields must share the hot-loop
+    jit key (one compiled executable per actual loop structure)."""
+    from dpst_tpu.config import StylizeConfig
+    a = StylizeConfig(iterations=100, scales=(256, 512), seed=1,
+                      max_classes=8, similarity_threshold=0.9,
+                      checkpoint_dir="/tmp/x", intermediate_interval=7,
+                      style_weight=123.0)
+    b = StylizeConfig(iterations=999, scales=(), seed=2, max_classes=2,
+                      similarity_threshold=0.1, style_weight=7.0)
+    assert a.loop_config() == b.loop_config()
+    assert hash(a.loop_config()) == hash(b.loop_config())
+    # loop-relevant fields must still differentiate
+    c = StylizeConfig(pooling="avg")
+    assert c.loop_config() != a.loop_config()
+    d = StylizeConfig(optimizer="lbfgs", clip_pixels=False)
+    assert d.loop_config() != a.loop_config()
+    # tv_weight: truthiness is static, magnitude is traced
+    e1 = StylizeConfig(tv_weight=5.0)
+    e2 = StylizeConfig(tv_weight=9.0)
+    assert e1.loop_config() == e2.loop_config()
+    assert e1.loop_config() != StylizeConfig(tv_weight=0.0).loop_config()
