@@ -25,6 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output image path")
     p.add_argument("--size", type=int, default=512,
                    help="working resolution (longest side; 0 = native)")
+    p.add_argument("--preset", choices=("config1", "config2", "config3",
+                                        "config4", "config5"),
+                   default=None,
+                   help="start from a BASELINE.md preset; explicitly "
+                        "passed flags still override")
 
     g = p.add_argument_group("loss weights")
     g.add_argument("--content-weight", type=float, default=1.0)
@@ -88,8 +93,49 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def config_from_args(args) -> "StylizeConfig":
-    from .config import StylizeConfig
+def config_from_args(args, argv=None) -> "StylizeConfig":
+    import dataclasses
+
+    from .config import PRESETS, StylizeConfig
+
+    if args.preset:
+        # preset as base; only explicitly-typed flags override it
+        base = PRESETS[args.preset]
+        defaults = build_parser().parse_args(
+            ["--content", args.content, "--style", args.style])
+        overrides = {}
+        flag_to_field = {
+            "content_weight": "content_weight",
+            "style_weight": "style_weight",
+            "regularization_weight": "regularization_weight",
+            "tv_weight": "tv_weight", "iterations": "iterations",
+            "optimizer": "optimizer", "lr": "learning_rate",
+            "init": "init_mode", "seed": "seed",
+            "similarity_metric": "similarity_metric",
+            "similarity_threshold": "similarity_threshold",
+            "max_classes": "max_classes",
+            "matting_epsilon": "matting_epsilon",
+            "laplacian_impl": "laplacian_impl",
+            "intermediate_interval": "intermediate_interval",
+            "dtype": "compute_dtype", "pooling": "pooling",
+        }
+        for flag, field in flag_to_field.items():
+            if getattr(args, flag) != getattr(defaults, flag):
+                overrides[field] = getattr(args, flag)
+        if args.scales is not None:
+            overrides["scales"] = tuple(args.scales)
+        if args.no_segmentation:
+            overrides["use_segmentation"] = False
+        if args.no_photorealism:
+            overrides["use_photorealism"] = False
+        for field, attr in (("checkpoint_dir", "checkpoint_dir"),
+                            ("profile_dir", "profile_dir")):
+            if getattr(args, attr):
+                overrides[field] = getattr(args, attr)
+        if args.debug_nans:
+            overrides["debug_nans"] = True
+        return dataclasses.replace(base, **overrides)
+
     return StylizeConfig(
         content_weight=args.content_weight,
         style_weight=args.style_weight,

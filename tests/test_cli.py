@@ -109,3 +109,29 @@ def test_resume_equals_straight_run(image_files, tmp_path):
                                           checkpoint_dir=ckpt, **base),
                       resume=True)
     np.testing.assert_allclose(resumed, straight, atol=0.5, rtol=1e-2)
+
+
+def test_cli_preset(image_files):
+    c, s, d = image_files
+    out = str(d / "preset_out.png")
+    r = _run_cli(["--content", c, "--style", s, "--output", out,
+                  "--preset", "config1", "--size", "24",
+                  "--iterations", "4", "--no-compile-cache"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_preset_override_semantics(image_files):
+    """Preset supplies the base; explicit flags win over it."""
+    c, s, _ = image_files
+    from dpst_tpu.cli import build_parser, config_from_args
+    args = build_parser().parse_args(
+        ["--content", c, "--style", s, "--preset", "config3",
+         "--iterations", "7"])
+    cfg = config_from_args(args)
+    assert cfg.iterations == 7                    # explicit flag wins
+    assert cfg.use_photorealism is True           # from the preset
+    args2 = build_parser().parse_args(
+        ["--content", c, "--style", s, "--preset", "config4"])
+    cfg2 = config_from_args(args2)
+    assert cfg2.scales == (256, 512, 1024)        # preset's schedule
