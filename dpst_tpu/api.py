@@ -40,12 +40,14 @@ def prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
 
     content_feats = vgg.extract_features(
         vgg_params, content, cfg.content_layers,
-        pooling=cfg.pooling, compute_dtype=cfg.compute_dtype)
+        pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
+        conv_impl=cfg.conv_impl)
     content_feats = {k: jnp.asarray(v) for k, v in content_feats.items()}
 
     style_feats = vgg.extract_features(
         vgg_params, style, cfg.style_layers,
-        pooling=cfg.pooling, compute_dtype=cfg.compute_dtype)
+        pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
+        conv_impl=cfg.conv_impl)
 
     smask_pyr = segmentation.layer_masks(
         style_masks, cfg.style_layers, cfg.mask_downsample)

@@ -88,6 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--debug-nans", action="store_true")
     g.add_argument("--dtype", choices=("bfloat16", "float32"),
                    default="bfloat16", help="conv/Gram compute dtype")
+    g.add_argument("--conv-impl", choices=("auto", "pallas", "xla"),
+                   default="auto", help="VGG conv kernel backend")
     g.add_argument("--pooling", choices=("max", "avg"), default="max")
     g.add_argument("--no-compile-cache", action="store_true")
     return p
@@ -118,6 +120,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "laplacian_impl": "laplacian_impl",
             "intermediate_interval": "intermediate_interval",
             "dtype": "compute_dtype", "pooling": "pooling",
+            "conv_impl": "conv_impl",
         }
         for flag, field in flag_to_field.items():
             if getattr(args, flag) != getattr(defaults, flag):
@@ -160,6 +163,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         debug_nans=args.debug_nans,
         compute_dtype=args.dtype,
         pooling=args.pooling,
+        conv_impl=args.conv_impl,
     )
 
 

@@ -55,6 +55,7 @@ class StylizeConfig:
     pooling: str = "max"                 # "max" | "avg"
     compute_dtype: str = "bfloat16"      # conv compute dtype on TPU
     # fp32 accumulation is always used (preferred_element_type)
+    conv_impl: str = "auto"              # "auto" | "pallas" | "xla"
 
     # --- segmentation / masks --------------------------------------------
     use_segmentation: bool = True
@@ -111,6 +112,8 @@ class StylizeConfig:
             raise ValueError(f"unknown pooling {self.pooling!r}")
         if self.laplacian_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown laplacian_impl {self.laplacian_impl!r}")
+        if self.conv_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
 
 
 # Named presets matching BASELINE.json configs 1-5.

@@ -49,6 +49,44 @@ _DN = jax.lax.conv_dimension_numbers(
     (1, 8, 8, 3), (3, 3, 3, 64), ("NHWC", "HWIO", "NHWC"))
 
 
+@jax.custom_vjp
+def _pallas_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,Cin)×(3,3,Cin,Cout) SAME conv on the Pallas kernel.
+
+    VGG weights are constants of the image optimization, so the backward
+    pass is ONLY the input gradient — the same kernel run with spatially
+    flipped, in/out-transposed weights. Weight cotangents are zeros
+    (DCE'd by XLA)."""
+    from ..ops.conv_pallas import conv3x3_same
+    return jax.vmap(conv3x3_same, in_axes=(0, None))(x, w)
+
+
+def _pallas_conv_fwd(x, w):
+    return _pallas_conv(x, w), w
+
+
+def _pallas_conv_bwd(w, g):
+    from ..ops.conv_pallas import conv3x3_same, flip_transpose_weights
+    gx = jax.vmap(conv3x3_same, in_axes=(0, None))(
+        g, flip_transpose_weights(w))
+    return gx, jnp.zeros_like(w)
+
+
+_pallas_conv.defvjp(_pallas_conv_fwd, _pallas_conv_bwd)
+
+
+def _use_pallas_conv(conv_impl: str, width: int, cin: int) -> bool:
+    """"auto" resolves to XLA: the Pallas tap-matmul conv is validated
+    and available (`conv_impl="pallas"`), but measured SLOWER in the full
+    optimization step on v5e (86.6 it/s vs 106.5 at 512², and 84.6 when
+    gated to the widest layers only) — XLA's conv algorithms beat the
+    nine-tap matmul formulation even paying their relayout copies. Kept
+    as an opt-in baseline for future kernel work."""
+    if conv_impl == "pallas":
+        return cin >= 8
+    return False
+
+
 def init_params(seed: int = 0, dtype=jnp.float32) -> dict:
     """Deterministic He-normal init of all 16 conv layers."""
     key = jax.random.PRNGKey(seed)
@@ -150,11 +188,13 @@ def _pool(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     return s * 0.25
 
 
-@partial(jax.jit, static_argnames=("layers", "pooling", "compute_dtype"))
+@partial(jax.jit, static_argnames=("layers", "pooling", "compute_dtype",
+                                   "conv_impl"))
 def extract_features(params: dict, image: jnp.ndarray,
                      layers: tuple[str, ...],
                      pooling: str = "max",
-                     compute_dtype: str = "float32") -> dict:
+                     compute_dtype: str = "float32",
+                     conv_impl: str = "auto") -> dict:
     """Run VGG-19 up to the deepest layer in `layers`.
 
     Args:
@@ -187,9 +227,12 @@ def extract_features(params: dict, image: jnp.ndarray,
         # convs in fp32 internally regardless, and a mixed-dtype conv
         # (bf16 operands, fp32 preferred_element_type) has no transpose
         # rule in JAX — it would break the VJP the optimizer loop needs.
-        x = jax.lax.conv_general_dilated(
-            x, p["w"].astype(cdt), (1, 1), "SAME",
-            dimension_numbers=_DN, preferred_element_type=cdt)
+        if _use_pallas_conv(conv_impl, x.shape[2], x.shape[3]):
+            x = _pallas_conv(x, p["w"].astype(cdt))
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, p["w"].astype(cdt), (1, 1), "SAME",
+                dimension_numbers=_DN, preferred_element_type=cdt)
         x = x + p["b"].astype(cdt)
         x = jnp.maximum(x, 0.0)
         if name in layers:

@@ -67,7 +67,8 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                 weights: LossWeights, vgg_params: dict):
         feats = vgg.extract_features(
             vgg_params, image, all_layers,
-            pooling=cfg.pooling, compute_dtype=cfg.compute_dtype)
+            pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
+            conv_impl=cfg.conv_impl)
 
         l_content = jnp.float32(0.0)
         for layer in cfg.content_layers:
