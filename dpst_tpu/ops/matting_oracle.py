@@ -63,3 +63,61 @@ def matvec_oracle(image01: np.ndarray, v: np.ndarray,
         [(lap @ v[..., i].reshape(-1)).reshape(h, w) for i in range(c)],
         axis=-1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) oracle — independent double-precision implementation
+# (native/matting_oracle.cpp, ctypes-loaded). The reference leaned on
+# scipy.sparse's C internals for this operator; this is the equivalent
+# native host path, fast enough to cross-check the TPU kernels at sizes
+# where the python CSR builder above takes minutes.
+# ---------------------------------------------------------------------------
+import ctypes
+import os
+
+_NATIVE_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "..", "native", "build",
+    "libmatting_oracle.so")
+_native_lib = None
+
+
+def native_available() -> bool:
+    return os.path.exists(_NATIVE_PATH)
+
+
+def _load_native():
+    global _native_lib
+    if _native_lib is None:
+        lib = ctypes.CDLL(_NATIVE_PATH)
+        lib.matting_matvec.restype = ctypes.c_int
+        lib.matting_matvec.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double,
+        ]
+        _native_lib = lib
+    return _native_lib
+
+
+def matvec_native(image01: np.ndarray, v: np.ndarray,
+                  eps: float = 1e-5) -> np.ndarray:
+    """y = L·v via the C++ oracle (double precision, matrix-free).
+
+    Build once with tools/build_native.sh; `native_available()` gates
+    callers (tests fall back to the scipy path when absent)."""
+    lib = _load_native()
+    squeeze = v.ndim == 2
+    if squeeze:
+        v = v[..., None]
+    h, w, c = v.shape
+    img = np.ascontiguousarray(image01, np.float64)
+    vv = np.ascontiguousarray(v, np.float64)
+    out = np.empty_like(vv)
+    ptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    rc = lib.matting_matvec(ptr(img), ptr(vv), ptr(out), h, w, c,
+                            float(eps))
+    if rc != 0:
+        raise RuntimeError(f"matting_matvec failed with code {rc}")
+    return out[..., 0] if squeeze else out
