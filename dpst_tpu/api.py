@@ -20,7 +20,7 @@ from .config import StylizeConfig
 from .models import vgg
 from .ops import laplacian as lap
 from .ops import losses as losses_mod
-from .ops.resize import downsample_mask, resize_image
+from .ops.resize import resize_image
 from .utils import io
 
 
