@@ -78,6 +78,12 @@ def stylize_batch(contents, styles, cmasks, smasks,
         vgg_params = vgg.get_params(seed=cfg.seed)
     if mesh is None:
         mesh = mesh_lib.make_mesh()
+    if mesh.devices.size > 1 and cfg.laplacian_impl != "xla":
+        # Pallas custom calls don't partition under SPMD; on a real
+        # multi-chip mesh the sharded operands would be all-gathered.
+        # The XLA stencil partitions cleanly — same math (tested).
+        import dataclasses
+        cfg = dataclasses.replace(cfg, laplacian_impl="xla")
     if weights is None:
         weights = optimize.LossWeights.from_config(cfg)
 

@@ -75,6 +75,12 @@ def stylize_spatial(content, style, content_masks, style_masks,
     same math, different layout.
     """
     cfg = cfg or StylizeConfig()
+    if cfg.laplacian_impl != "xla":
+        # Pallas custom calls don't partition under SPMD — a sharded
+        # operand would be silently all-gathered, defeating the row
+        # sharding. The XLA stencil partitions cleanly (halo exchanges).
+        import dataclasses
+        cfg = dataclasses.replace(cfg, laplacian_impl="xla")
     if vgg_params is None:
         from ..models import vgg
         vgg_params = vgg.get_params(seed=cfg.seed)

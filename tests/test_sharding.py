@@ -109,3 +109,19 @@ def test_graft_entry_contract():
     assert np.all(np.isfinite(np.asarray(out[2])))
 
     mod.dryrun_multichip(8)
+
+
+def test_batch_multidev_forces_xla_laplacian(toy_batch):
+    """laplacian_impl='pallas' on a multi-device mesh must transparently
+    run (the XLA stencil substitutes — Pallas custom calls don't
+    SPMD-partition)."""
+    from dpst_tpu.parallel import batch as pbatch
+    from dpst_tpu.parallel import mesh as mesh_lib
+
+    contents, styles, cmasks, smasks = toy_batch
+    cfg = _cfg(laplacian_impl="pallas", iterations=3)
+    mesh = mesh_lib.make_mesh(4)
+    images, hist = pbatch.stylize_batch(
+        contents, styles, cmasks, smasks, cfg=cfg, mesh=mesh)
+    assert np.all(np.isfinite(np.asarray(images)))
+    assert np.all(np.asarray(hist)[:, :, 3] >= -1e-3)  # photoreal active
