@@ -19,7 +19,10 @@ import time
 
 import numpy as np
 
-WATCHDOG_SECS = 540
+# generous: a fully cold compilation cache through the remote-compile
+# tunnel costs minutes; the watchdog exists for WEDGED workers (hours),
+# not slow compiles — a false trip would record a bogus 0 for the round
+WATCHDOG_SECS = 1500
 
 
 def _watchdog(signum, frame):

@@ -38,3 +38,37 @@ def test_golden_config3():
                                rtol=5e-3)
     # convergence quality: ~11x loss reduction on the golden run
     assert hist[0, 0] / hist[-1, 0] > 8.0
+
+
+def test_golden_config2_masked():
+    """Masked multi-class path golden: pins the per-class masked-Gram
+    math, coverage weighting, and mask pyramids end to end."""
+    from dpst_tpu import StylizeConfig, stylize
+    from dpst_tpu.ops.metrics import ssim
+
+    r = np.random.default_rng(4321)
+    content = r.uniform(0, 255, (48, 48, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (48, 48, 3)).astype(np.float32)
+    cmask = np.zeros((3, 48, 48), np.float32)
+    cmask[0, :16] = 1
+    cmask[1, 16:32] = 1
+    cmask[2, 32:] = 1
+    smask = np.zeros((3, 48, 48), np.float32)
+    smask[0, :, :16] = 1
+    smask[1, :, 16:32] = 1
+    smask[2, :, 32:] = 1
+    cfg = StylizeConfig(use_segmentation=True, use_photorealism=True,
+                        laplacian_impl="xla", compute_dtype="float32",
+                        iterations=50, max_classes=3,
+                        regularization_weight=100.0)
+    out, hist = stylize(content, style, cfg, content_masks=cmask,
+                        style_masks=smask, return_history=True)
+
+    golden = np.load(os.path.join(GOLDEN_DIR,
+                                  "config2_masked_48px.npy"))
+    s = float(ssim(out, golden))
+    assert s >= 0.98, f"SSIM vs masked golden = {s}"
+    golden_loss = np.load(
+        os.path.join(GOLDEN_DIR, "config2_masked_48px_loss.npy"))
+    np.testing.assert_allclose(np.asarray(hist[:, 0]), golden_loss,
+                               rtol=5e-3)
