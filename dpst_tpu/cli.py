@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto", help="VGG conv kernel backend")
     g.add_argument("--pooling", choices=("max", "avg"), default="max")
     g.add_argument("--no-compile-cache", action="store_true")
+    g.add_argument("--device", type=int, default=None,
+                   help="device index to run on (the reference's GPU-id "
+                        "flag analog); default: JAX's first device")
     return p
 
 
@@ -175,6 +178,14 @@ def main(argv=None) -> int:
         runtime.enable_compilation_cache()
     if args.debug_nans:
         runtime.enable_debug_nans()
+    if args.device is not None:
+        import jax
+        devices = jax.devices()
+        if not 0 <= args.device < len(devices):
+            raise SystemExit(
+                f"--device {args.device} out of range: "
+                f"{len(devices)} device(s) available")
+        jax.config.update("jax_default_device", devices[args.device])
 
     import numpy as np
 
