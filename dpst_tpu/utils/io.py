@@ -48,15 +48,16 @@ def load_image(path_or_array, size: int | tuple[int, int] | None = None,
 
 def save_image(array, path: str) -> None:
     """Save a float [0,255] HWC array as an image file."""
-    arr = np.asarray(array)
-    arr = np.clip(arr, 0.0, 255.0).astype(np.uint8)
     if not _HAS_PIL:
         raise RuntimeError("PIL unavailable; cannot save images")
-    Image.fromarray(arr).save(path)
+    Image.fromarray(to_uint8(array)).save(path)
 
 
 def to_uint8(array) -> np.ndarray:
-    return np.clip(np.asarray(array), 0.0, 255.0).astype(np.uint8)
+    # round, don't truncate: a bare uint8 cast would bias every saved
+    # pixel by −0.5 on average
+    return np.clip(np.rint(np.asarray(array)), 0.0, 255.0).astype(
+        np.uint8)
 
 
 def _target_hw(hw: tuple[int, int], size) -> tuple[int, int]:
