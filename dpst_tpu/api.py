@@ -51,13 +51,11 @@ def prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
 
     smask_pyr = segmentation.layer_masks(
         style_masks, cfg.style_layers, cfg.mask_downsample)
-    style_grams = {}
-    for layer in cfg.style_layers:
-        feats = style_feats[layer]
-        grams = [losses_mod.masked_gram(feats, smask_pyr[layer][k],
-                                        compute_dtype=cfg.compute_dtype)
-                 for k in range(smask_pyr[layer].shape[0])]
-        style_grams[layer] = jnp.stack(grams)
+    style_grams = {
+        layer: losses_mod.masked_grams_fused(
+            style_feats[layer], smask_pyr[layer],
+            compute_dtype=cfg.compute_dtype)
+        for layer in cfg.style_layers}
 
     cmask_pyr = segmentation.layer_masks(
         content_masks, cfg.style_layers, cfg.mask_downsample)
