@@ -19,10 +19,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dpst_tpu",
         description="TPU-native automated deep photo style transfer")
-    p.add_argument("--content", required=True, help="content image path")
+    p.add_argument("--content", help="content image path")
+    p.add_argument("--content-dir", default=None,
+                   help="stylize EVERY image in this directory against "
+                        "--style, batched and sharded over all devices")
     p.add_argument("--style", required=True, help="style image path")
     p.add_argument("--output", default="result.png",
-                   help="output image path")
+                   help="output image path (with --content-dir: an "
+                        "output directory)")
     p.add_argument("--size", type=int, default=512,
                    help="working resolution (longest side; 0 = native)")
     p.add_argument("--preset", choices=("config1", "config2", "config3",
@@ -170,8 +174,71 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
     )
 
 
+def _run_batch_dir(args, cfg, size):
+    """--content-dir mode: all images in a directory vs one style, as ONE
+    sharded batched dispatch (BASELINE config 5 through the CLI)."""
+    import glob
+
+    import numpy as np
+
+    from .parallel.batch import stylize_batch
+    from .segmentation import uniform_masks
+    from .utils import io
+
+    exts = ("*.png", "*.jpg", "*.jpeg", "*.bmp", "*.webp")
+    paths = sorted(p for e in exts
+                   for p in glob.glob(os.path.join(args.content_dir, e)))
+    if not paths:
+        raise SystemExit(f"no images found in {args.content_dir}")
+    hw = None
+    contents = []
+    for p in paths:
+        img = io.load_image(p, size if size else 512)
+        if hw is None:
+            hw = img.shape[:2]
+        elif img.shape[:2] != hw:
+            img = io.load_image(p, hw)  # batch needs uniform shapes
+        contents.append(img)
+    contents = np.stack(contents)
+    style = io.load_image(args.style, hw)
+    styles = np.broadcast_to(style, contents.shape).copy()
+
+    if cfg.use_segmentation:
+        from . import segmentation
+        from .models import pspnet
+        seg_params = pspnet.get_params()
+        cms, sms = [], []
+        for c in contents:
+            cm, sm, _ = segmentation.automatic_masks(c, style, cfg,
+                                                     seg_params)
+            cms.append(cm)
+            sms.append(sm)
+        cmasks, smasks = np.stack(cms), np.stack(sms)
+    else:
+        ones = uniform_masks(hw)
+        cmasks = np.broadcast_to(ones, (len(paths),) + ones.shape).copy()
+        smasks = cmasks
+
+    t0 = time.perf_counter()
+    images, history = stylize_batch(contents, styles, cmasks, smasks,
+                                    cfg=cfg)
+    images = np.asarray(images)
+    dt = time.perf_counter() - t0
+    os.makedirs(args.output, exist_ok=True)
+    for p, img in zip(paths, images):
+        out_path = os.path.join(args.output, os.path.basename(p))
+        io.save_image(img, out_path)
+    print(f"stylized {len(paths)} images in {dt:.1f}s "
+          f"({dt / len(paths):.1f}s/image) -> {args.output}/")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if not args.content and not args.content_dir:
+        build_parser().error("one of --content / --content-dir is required")
+    if args.content_dir:
+        args.content = args.content_dir  # placate preset parsing
 
     from .utils import runtime
     if not args.no_compile_cache:
@@ -194,6 +261,9 @@ def main(argv=None) -> int:
 
     cfg = config_from_args(args)
     size = args.size if args.size > 0 else None
+
+    if args.content_dir:
+        return _run_batch_dir(args, cfg, size)
 
     masks = {}
     if args.content_masks:

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh
 
 from .. import optimize
@@ -76,8 +77,15 @@ def stylize_batch(contents, styles, cmasks, smasks,
     if vgg_params is None:
         from ..models import vgg
         vgg_params = vgg.get_params(seed=cfg.seed)
+    b = int(np.asarray(contents).shape[0])
     if mesh is None:
         mesh = mesh_lib.make_mesh()
+    n_dev = int(mesh.devices.size)
+    if b % n_dev:
+        # the pair axis must divide the mesh — shrink to the largest
+        # device count that does (same policy as autotune's Γ axis)
+        n = max(k for k in range(1, min(n_dev, b) + 1) if b % k == 0)
+        mesh = mesh_lib.make_mesh(n)
     if mesh.devices.size > 1 and cfg.laplacian_impl != "xla":
         # Pallas custom calls don't partition under SPMD; on a real
         # multi-chip mesh the sharded operands would be all-gathered.

@@ -135,3 +135,39 @@ def test_preset_override_semantics(image_files):
         ["--content", c, "--style", s, "--preset", "config4"])
     cfg2 = config_from_args(args2)
     assert cfg2.scales == (256, 512, 1024)        # preset's schedule
+
+
+def test_cli_content_dir_batch(image_files, tmp_path):
+    """--content-dir stylizes a whole directory in one sharded batch."""
+    c, s, d = image_files
+    r = np.random.default_rng(77)
+    src = tmp_path / "batchsrc"
+    src.mkdir()
+    for i in range(4):
+        io.save_image(r.uniform(0, 255, (24, 24, 3)),
+                      str(src / f"img{i}.png"))
+    outdir = str(tmp_path / "batchout")
+    res = _run_cli(["--content-dir", str(src), "--style", s,
+                    "--output", outdir, "--size", "24",
+                    "--iterations", "4", "--no-segmentation",
+                    "--no-photorealism", "--dtype", "float32",
+                    "--no-compile-cache"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert sorted(os.listdir(outdir)) == [f"img{i}.png" for i in range(4)]
+    assert "stylized 4 images" in res.stdout
+
+
+def test_cli_requires_content_or_dir(image_files):
+    c, s, _ = image_files
+    res = _run_cli(["--style", s])
+    assert res.returncode != 0
+    assert "--content" in res.stderr
+
+
+def test_cli_empty_content_dir(image_files, tmp_path):
+    c, s, _ = image_files
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    res = _run_cli(["--content-dir", str(empty), "--style", s])
+    assert res.returncode != 0
+    assert "no images found" in (res.stderr + res.stdout)
