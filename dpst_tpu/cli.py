@@ -263,6 +263,10 @@ def main(argv=None) -> int:
     size = args.size if args.size > 0 else None
 
     if args.content_dir:
+        if args.autotune:
+            raise SystemExit(
+                "--autotune tunes one pair; use it with --content, "
+                "not --content-dir")
         return _run_batch_dir(args, cfg, size)
 
     masks = {}
