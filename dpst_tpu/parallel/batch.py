@@ -80,11 +80,17 @@ def stylize_batch(contents, styles, cmasks, smasks,
     b = int(np.asarray(contents).shape[0])
     if mesh is None:
         mesh = mesh_lib.make_mesh()
-    n_dev = int(mesh.devices.size)
-    if b % n_dev:
-        # the pair axis must divide the mesh — shrink to the largest
-        # device count that does (same policy as autotune's Γ axis)
-        n = max(k for k in range(1, min(n_dev, b) + 1) if b % k == 0)
+    n_batch_dev = dict(zip(mesh.axis_names,
+                           mesh.devices.shape))[mesh_lib.BATCH_AXIS]
+    if b % n_batch_dev:
+        if mesh_lib.has_row_axis(mesh):
+            raise ValueError(
+                f"batch {b} does not divide the mesh's {n_batch_dev}-way "
+                "batch axis")
+        # 1-D mesh: shrink to the largest device count the batch divides
+        # (same policy as autotune's Γ axis)
+        n = max(k for k in range(1, min(n_batch_dev, b) + 1)
+                if b % k == 0)
         mesh = mesh_lib.make_mesh(n)
     if mesh.devices.size > 1 and cfg.laplacian_impl != "xla":
         # Pallas custom calls don't partition under SPMD; on a real
@@ -95,11 +101,12 @@ def stylize_batch(contents, styles, cmasks, smasks,
     if weights is None:
         weights = optimize.LossWeights.from_config(cfg)
 
-    batch = mesh_lib.shard_batch(
-        (jnp.asarray(contents, jnp.float32),
-         jnp.asarray(styles, jnp.float32),
-         jnp.asarray(cmasks, jnp.float32),
-         jnp.asarray(smasks, jnp.float32)), mesh)
+    s_img = mesh_lib.image_sharding(mesh)
+    s_mask = mesh_lib.mask_sharding(mesh)
+    batch = (jax.device_put(jnp.asarray(contents, jnp.float32), s_img),
+             jax.device_put(jnp.asarray(styles, jnp.float32), s_img),
+             jax.device_put(jnp.asarray(cmasks, jnp.float32), s_mask),
+             jax.device_put(jnp.asarray(smasks, jnp.float32), s_mask))
     params_r = mesh_lib.replicate(vgg_params, mesh)
     weights_r = (mesh_lib.shard_batch(weights, mesh) if per_pair_weights
                  else mesh_lib.replicate(weights, mesh))

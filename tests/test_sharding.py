@@ -125,3 +125,40 @@ def test_batch_multidev_forces_xla_laplacian(toy_batch):
         contents, styles, cmasks, smasks, cfg=cfg, mesh=mesh)
     assert np.all(np.isfinite(np.asarray(images)))
     assert np.all(np.asarray(hist)[:, :, 3] >= -1e-3)  # photoreal active
+
+
+def test_batch_2d_mesh_matches_1d(toy_batch):
+    """stylize_batch on a 2-D (pairs × rows) mesh ≡ the 1-D DP mesh run
+    (XLA inserts the spatial halo exchanges; same math)."""
+    from dpst_tpu.parallel import batch as pbatch
+    from dpst_tpu.parallel import mesh as mesh_lib
+    from dpst_tpu.models import vgg
+
+    contents, styles, cmasks, smasks = toy_batch
+    cfg = _cfg(iterations=5)
+    params = vgg.init_params(seed=0)
+
+    imgs_1d, hist_1d = pbatch.stylize_batch(
+        contents, styles, cmasks, smasks, cfg=cfg, vgg_params=params,
+        mesh=mesh_lib.make_mesh(4))
+    imgs_2d, hist_2d = pbatch.stylize_batch(
+        contents, styles, cmasks, smasks, cfg=cfg, vgg_params=params,
+        mesh=mesh_lib.make_mesh_2d(4, 2))
+
+    np.testing.assert_allclose(np.asarray(hist_2d)[:, :, 0],
+                               np.asarray(hist_1d)[:, :, 0], rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(imgs_2d), np.asarray(imgs_1d),
+                               rtol=5e-2, atol=2.0)
+    # the image really is sharded along both axes
+    shards = {s.data.shape for s in imgs_2d.addressable_shards}
+    assert shards == {(1, 12, 24, 3)}, shards
+
+
+def test_batch_2d_mesh_indivisible_raises(toy_batch):
+    from dpst_tpu.parallel import batch as pbatch
+    from dpst_tpu.parallel import mesh as mesh_lib
+    contents, styles, cmasks, smasks = toy_batch
+    with pytest.raises(ValueError, match="does not divide"):
+        pbatch.stylize_batch(contents[:3], styles[:3], cmasks[:3],
+                             smasks[:3], cfg=_cfg(),
+                             mesh=mesh_lib.make_mesh_2d(4, 2))
