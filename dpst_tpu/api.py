@@ -137,8 +137,12 @@ def stylize(content, style, config: StylizeConfig | None = None, *,
     Mirrors the reference entry point (SURVEY.md §2 comp.1): automatic
     segmentation masks unless `content_masks`/`style_masks` (K, H, W) are
     given; `size` sets the working resolution of the content image (style
-    is resized to match). Returns a float32 [0,255] RGB np.ndarray
-    (and the (iters, 5) loss history if `return_history`).
+    is resized to match). `callback(step, image, history_chunk)` fires
+    every `cfg.intermediate_interval` steps; with `cfg.checkpoint_dir`
+    set, `resume=True` continues from the latest orbax checkpoint.
+    Returns a float32 [0,255] RGB np.ndarray (and the (iters, 5) loss
+    history — [total, content, style, photoreal, tv] per step — if
+    `return_history`).
     """
     cfg = config or StylizeConfig()
     if cfg.debug_nans:
