@@ -171,3 +171,18 @@ def test_cli_empty_content_dir(image_files, tmp_path):
     res = _run_cli(["--content-dir", str(empty), "--style", s])
     assert res.returncode != 0
     assert "no images found" in (res.stderr + res.stdout)
+
+
+def test_cli_device_flag(image_files, tmp_path):
+    c, s, d = image_files
+    out = str(tmp_path / "dev.png")
+    r = _run_cli(["--content", c, "--style", s, "--output", out,
+                  "--size", "24", "--iterations", "2",
+                  "--no-segmentation", "--no-photorealism",
+                  "--dtype", "float32", "--device", "0",
+                  "--no-compile-cache"])
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert os.path.exists(out)
+    r2 = _run_cli(["--content", c, "--style", s, "--device", "99"])
+    assert r2.returncode != 0
+    assert "out of range" in (r2.stderr + r2.stdout)
