@@ -17,12 +17,11 @@ def _run(script, *args):
         capture_output=True, text=True, env=ENV, cwd=REPO)
 
 
-def test_convert_vgg_roundtrip(tmp_path):
-    from dpst_tpu.models.vgg import CONV_SHAPES, extract_features, \
-        load_params
+def _synth_vgg_state(seed=0):
+    from dpst_tpu.models.vgg import CONV_SHAPES
     from tools.convert_vgg import TORCHVISION_IDX
 
-    r = np.random.default_rng(0)
+    r = np.random.default_rng(seed)
     state = {}
     for (name, (cin, cout)), idx in zip(CONV_SHAPES.items(),
                                         TORCHVISION_IDX):
@@ -30,6 +29,13 @@ def test_convert_vgg_roundtrip(tmp_path):
             r.normal(0, 0.05, (cout, cin, 3, 3)).astype(np.float32))
         state[f"features.{idx}.bias"] = torch.from_numpy(
             r.normal(0, 0.05, cout).astype(np.float32))
+    return state
+
+
+def test_convert_vgg_roundtrip(tmp_path):
+    from dpst_tpu.models.vgg import extract_features, load_params
+
+    state = _synth_vgg_state()
     src = str(tmp_path / "vgg19.pth")
     dst = str(tmp_path / "vgg19.npz")
     torch.save(state, src)
@@ -37,19 +43,93 @@ def test_convert_vgg_roundtrip(tmp_path):
     res = _run("convert_vgg.py", src, dst)
     assert res.returncode == 0, res.stderr[-1500:]
     params = load_params(dst)
-    # OIHW -> HWIO transpose is exact (conv1_1 additionally BGR-flipped)
+    # OIHW -> HWIO transpose is exact for all layers but conv1_1 (which
+    # absorbs the torchvision preprocessing fold)
     w_src = state["features.2.weight"].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_array_equal(np.asarray(params["conv1_2"]["w"]),
                                   w_src)
-    w_c11 = state["features.0.weight"].numpy().transpose(2, 3, 1, 0)
-    np.testing.assert_array_equal(np.asarray(params["conv1_1"]["w"]),
-                                  w_c11[:, :, ::-1, :])
     # loaded params run
     import jax.numpy as jnp
     feats = extract_features(
         params, jnp.zeros((16, 16, 3)), ("conv1_1",),
         compute_dtype="float32")
     assert feats["conv1_1"].shape == (16, 16, 64)
+
+
+def test_convert_vgg_torchvision_fold_exact(tmp_path):
+    """Pipeline activations with the converted bundle == torchvision
+    activations with torchvision preprocessing (ADVICE r1 medium).
+
+    Torch side: t = (rgb/255 - mean)/std, plain convs. Our side: the
+    pipeline's Caffe preprocessing (BGR, mean-subtracted [0,255]) with
+    conv1_1 carrying the folded normalization. Checked through a pool
+    (conv2_1) so downstream layers are covered by induction.
+    """
+    import torch.nn.functional as F
+
+    from dpst_tpu.models.vgg import extract_features, load_params
+    from tools.convert_vgg import TV_MEAN, TV_STD
+
+    state = _synth_vgg_state(seed=3)
+    src = str(tmp_path / "vgg19.pth")
+    dst = str(tmp_path / "vgg19.npz")
+    torch.save(state, src)
+    res = _run("convert_vgg.py", src, dst, "--convention", "torchvision")
+    assert res.returncode == 0, res.stderr[-1500:]
+    params = load_params(dst)
+
+    r = np.random.default_rng(7)
+    img = r.uniform(0, 255, (16, 16, 3)).astype(np.float32)
+
+    # torchvision-convention forward in torch (fp64)
+    t = torch.from_numpy(img[None]).permute(0, 3, 1, 2).double() / 255.0
+    mean = torch.tensor(TV_MEAN, dtype=torch.float64).view(1, 3, 1, 1)
+    std = torch.tensor(TV_STD, dtype=torch.float64).view(1, 3, 1, 1)
+    t = (t - mean) / std
+    theirs = {}
+    for tv_idx, name in ((0, "conv1_1"), (2, "conv1_2"),
+                         (None, "pool1"), (5, "conv2_1")):
+        if name == "pool1":
+            t = F.max_pool2d(t, 2, 2)
+            continue
+        w = state[f"features.{tv_idx}.weight"].double()
+        b = state[f"features.{tv_idx}.bias"].double()
+        t = F.relu(F.conv2d(t, w, b, padding=1))
+        theirs[name] = t[0].permute(1, 2, 0).numpy()
+
+    ours = extract_features(params, img, ("conv1_1", "conv2_1"),
+                            compute_dtype="float32")
+    # Interior pixels are EXACT (up to fp32). Border rings carry an
+    # inherent ~0.009/std padding-convention residual: torch zero-pads
+    # the normalized input (≙ RGB padded with the torchvision mean
+    # pixel) while this pipeline zero-pads the Caffe mean-subtracted
+    # input (≙ Caffe mean pixel) — no weight fold can reconcile the two.
+    for layer, ring in (("conv1_1", 1), ("conv2_1", 2)):
+        a, b = np.asarray(ours[layer]), theirs[layer]
+        np.testing.assert_allclose(
+            a[ring:-ring, ring:-ring], b[ring:-ring, ring:-ring],
+            rtol=2e-4, atol=2e-5, err_msg=f"{layer} interior")
+        np.testing.assert_allclose(a, b, atol=2e-2,
+                                   err_msg=f"{layer} border ring")
+
+
+def test_convert_vgg_caffe_convention(tmp_path):
+    """--convention caffe is a pure layout transpose (no flip/scale)."""
+    from dpst_tpu.models.vgg import load_params
+
+    state = _synth_vgg_state(seed=5)
+    src = str(tmp_path / "vgg19.pth")
+    dst = str(tmp_path / "vgg19.npz")
+    torch.save(state, src)
+    res = _run("convert_vgg.py", src, dst, "--convention", "caffe")
+    assert res.returncode == 0, res.stderr[-1500:]
+    params = load_params(dst)
+    w_c11 = state["features.0.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(np.asarray(params["conv1_1"]["w"]),
+                                  w_c11)
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1_1"]["b"]),
+        state["features.0.bias"].numpy())
 
 
 def test_convert_pspnet_roundtrip(tmp_path):
