@@ -24,7 +24,6 @@ from .ops.resize import resize_image
 from .utils import io
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
                       content_masks: jnp.ndarray, style_masks: jnp.ndarray,
                       cfg: StylizeConfig, vgg_params: dict
@@ -34,7 +33,18 @@ def prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
     coverage weights, matting-Laplacian window stats.
 
     Jitted as ONE XLA program: eager per-op dispatch here costs tens of
-    seconds through a remote-TPU tunnel; fused it is milliseconds."""
+    seconds through a remote-TPU tunnel; fused it is milliseconds. The
+    jit static key is `cfg.prepare_config()` — runs differing only in
+    optimizer/schedule/observability fields share one executable."""
+    return _prepare_constants(content, style, content_masks, style_masks,
+                              cfg.prepare_config(), vgg_params)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
+                       content_masks: jnp.ndarray, style_masks: jnp.ndarray,
+                       cfg: StylizeConfig, vgg_params: dict
+                       ) -> optimize.StylizeConstants:
     content = jnp.asarray(content, jnp.float32)
     style = jnp.asarray(style, jnp.float32)
 
@@ -71,13 +81,20 @@ def prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
         masks=cmask_pyr, coverage=coverage, lap_stats=lap_stats)
 
 
-@partial(jax.jit, static_argnames=("hw", "cfg"))
 def _prepare_stage(content, style, cmasks, smasks, vgg_params,
                    hw: tuple[int, int], cfg: StylizeConfig):
     """One multi-scale stage's precompute as a single XLA program:
     resize images + masks to the stage resolution and build the loop
     constants. Eager per-op dispatch costs ~100 ms/op through a remote
-    TPU tunnel — per-stage fusion keeps the whole schedule device-bound."""
+    TPU tunnel — per-stage fusion keeps the whole schedule device-bound.
+    Static jit key: `cfg.prepare_config()` (see prepare_constants)."""
+    return _prepare_stage_jit(content, style, cmasks, smasks, vgg_params,
+                              hw, cfg.prepare_config())
+
+
+@partial(jax.jit, static_argnames=("hw", "cfg"))
+def _prepare_stage_jit(content, style, cmasks, smasks, vgg_params,
+                       hw: tuple[int, int], cfg: StylizeConfig):
     if tuple(content.shape[:2]) != hw:
         content = resize_image(content, hw)
         style = resize_image(style, hw)
@@ -85,8 +102,8 @@ def _prepare_stage(content, style, cmasks, smasks, vgg_params,
                           0.0, 1.0)
         smasks = jnp.clip(resize_image(smasks[..., None], hw)[..., 0],
                           0.0, 1.0)
-    consts = prepare_constants(content, style, cmasks, smasks, cfg,
-                               vgg_params)
+    consts = _prepare_constants(content, style, cmasks, smasks, cfg,
+                                vgg_params)
     style_mean = jnp.mean(style, axis=(0, 1), keepdims=True)
     return consts, content, style_mean
 
@@ -161,7 +178,15 @@ def stylize(content, style, config: StylizeConfig | None = None, *,
     hw = content_np.shape[:2]
     style_np = io.load_image(style, hw)
 
-    if content_masks is None or style_masks is None:
+    if (content_masks is None) != (style_masks is None):
+        # The class channels of the two stacks must be semantically
+        # aligned; segmentation cannot align against a user-provided
+        # stack, and silently discarding the provided side is worse.
+        raise ValueError(
+            "content_masks and style_masks must be provided together "
+            "(their class channels must be aligned); got only "
+            + ("content_masks" if style_masks is None else "style_masks"))
+    if content_masks is None:
         if cfg.use_segmentation:
             content_masks, style_masks, _ = segmentation.automatic_masks(
                 content_np, style_np, cfg, seg_params)

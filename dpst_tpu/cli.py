@@ -102,6 +102,21 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _explicit_dests(argv) -> set:
+    """Dest names of flags literally present on the command line.
+
+    A second parser with argparse.SUPPRESS defaults: absent flags leave
+    no attribute, so a flag explicitly passed AT its default value is
+    still detected (ADVICE r1: value-comparison could not distinguish
+    `--preset config1 --dtype bfloat16` from the flag being absent)."""
+    p = build_parser()
+    for a in p._actions:
+        a.default = argparse.SUPPRESS
+        a.required = False
+    ns, _ = p.parse_known_args(argv)
+    return set(vars(ns))
+
+
 def config_from_args(args, argv=None) -> "StylizeConfig":
     import dataclasses
 
@@ -110,8 +125,20 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
     if args.preset:
         # preset as base; only explicitly-typed flags override it
         base = PRESETS[args.preset]
-        defaults = build_parser().parse_args(
-            ["--content", args.content, "--style", args.style])
+        if argv is not None:
+            explicit = _explicit_dests(argv)
+
+            def was_set(flag):
+                return flag in explicit
+        else:
+            # no argv available (programmatic call): fall back to
+            # comparing against parser defaults — cannot detect a flag
+            # explicitly passed at its default value
+            defaults = build_parser().parse_args(
+                ["--content", args.content, "--style", args.style])
+
+            def was_set(flag):
+                return getattr(args, flag) != getattr(defaults, flag)
         overrides = {}
         flag_to_field = {
             "content_weight": "content_weight",
@@ -130,7 +157,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "conv_impl": "conv_impl",
         }
         for flag, field in flag_to_field.items():
-            if getattr(args, flag) != getattr(defaults, flag):
+            if was_set(flag):
                 overrides[field] = getattr(args, flag)
         if args.scales is not None:
             overrides["scales"] = tuple(args.scales)
@@ -234,6 +261,8 @@ def _run_batch_dir(args, cfg, size):
 
 
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
     args = build_parser().parse_args(argv)
     if not args.content and not args.content_dir:
         build_parser().error("one of --content / --content-dir is required")
@@ -259,7 +288,7 @@ def main(argv=None) -> int:
     from . import api, autotune as autotune_mod
     from .utils import io
 
-    cfg = config_from_args(args)
+    cfg = config_from_args(args, argv)
     size = args.size if args.size > 0 else None
 
     if args.content_dir:
@@ -310,7 +339,9 @@ def main(argv=None) -> int:
     io.save_image(out, args.output)
     print(f"wrote {args.output}  ({out.shape[1]}x{out.shape[0]}, "
           f"{dt:.1f}s)")
-    if history is not None:
+    # --resume with a checkpoint already at/past the requested iteration
+    # count yields an empty (0, 5) history — nothing to print or dump.
+    if history is not None and len(history):
         print(f"final losses: total={history[-1, 0]:.4g} "
               f"content={history[-1, 1]:.4g} style={history[-1, 2]:.4g} "
               f"photoreal={history[-1, 3]:.4g} tv={history[-1, 4]:.4g}")

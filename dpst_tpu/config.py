@@ -99,6 +99,31 @@ class StylizeConfig:
             intermediate_interval=0, checkpoint_dir="", profile_dir="",
             debug_nans=False)
 
+    def prepare_config(self) -> "StylizeConfig":
+        """Canonical sub-config for the per-pair precompute's jit key.
+
+        `prepare_constants`/`_prepare_stage` read only the feature-
+        extraction, mask-pyramid and Laplacian-stats knobs; optimizer,
+        schedule and observability fields are neutralized here so runs
+        differing only in e.g. `iterations` or `learning_rate` share one
+        compiled precompute program (the same discipline `loop_config`
+        applies to the hot loop — CLAUDE.md rule 7, ADVICE r1)."""
+        return dataclasses.replace(
+            self,
+            content_weight=1.0, style_weight=1.0,
+            regularization_weight=1.0, tv_weight=0.0,
+            iterations=0, optimizer="adam", learning_rate=0.0,
+            adam_b1=0.0, adam_b2=0.0, adam_eps=0.0,
+            init_mode="content", init_noise_scale=0.0,
+            clip_pixels=True, seed=0,
+            scales=(), scale_iter_factor=1.0,
+            style_layer_weights=(1.0,) * len(self.style_layers),
+            use_segmentation=False, max_classes=0,
+            similarity_metric="grouped", similarity_threshold=0.0,
+            laplacian_impl="auto",
+            intermediate_interval=0, checkpoint_dir="", profile_dir="",
+            debug_nans=False)
+
     def __post_init__(self):
         if len(self.style_layer_weights) != len(self.style_layers):
             raise ValueError(

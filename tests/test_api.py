@@ -57,6 +57,20 @@ def test_external_masks(pair):
     assert np.all(np.isfinite(out))
 
 
+def test_one_sided_masks_raise(pair):
+    """Exactly one of content_masks/style_masks is an error — the class
+    channels must be aligned, and silently recomputing the provided
+    side (round-1 behavior) discarded user input (ADVICE r1)."""
+    content, style = pair
+    cmask = np.ones((1, 32, 32), np.float32)
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=2)
+    with pytest.raises(ValueError, match="must be provided together"):
+        stylize(content, style, cfg, content_masks=cmask)
+    with pytest.raises(ValueError, match="must be provided together"):
+        stylize(content, style, cfg, style_masks=cmask)
+
+
 def test_multiscale(pair):
     content, style = pair
     cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,

@@ -125,16 +125,31 @@ def test_preset_override_semantics(image_files):
     """Preset supplies the base; explicit flags win over it."""
     c, s, _ = image_files
     from dpst_tpu.cli import build_parser, config_from_args
-    args = build_parser().parse_args(
-        ["--content", c, "--style", s, "--preset", "config3",
-         "--iterations", "7"])
-    cfg = config_from_args(args)
+    argv = ["--content", c, "--style", s, "--preset", "config3",
+            "--iterations", "7"]
+    cfg = config_from_args(build_parser().parse_args(argv), argv)
     assert cfg.iterations == 7                    # explicit flag wins
     assert cfg.use_photorealism is True           # from the preset
-    args2 = build_parser().parse_args(
-        ["--content", c, "--style", s, "--preset", "config4"])
-    cfg2 = config_from_args(args2)
+    argv2 = ["--content", c, "--style", s, "--preset", "config4"]
+    cfg2 = config_from_args(build_parser().parse_args(argv2), argv2)
     assert cfg2.scales == (256, 512, 1024)        # preset's schedule
+
+
+def test_preset_override_explicit_default_value(image_files):
+    """A flag passed explicitly AT its parser-default value still
+    overrides the preset (ADVICE r1: config1 sets float32; an explicit
+    --dtype bfloat16 — the parser default — must win)."""
+    c, s, _ = image_files
+    from dpst_tpu.cli import build_parser, config_from_args
+    argv = ["--content", c, "--style", s, "--preset", "config1",
+            "--dtype", "bfloat16"]
+    cfg = config_from_args(build_parser().parse_args(argv), argv)
+    assert cfg.compute_dtype == "bfloat16"        # explicit-at-default wins
+    assert cfg.use_photorealism is False          # rest of preset intact
+    # without the explicit flag the preset's dtype survives
+    argv2 = ["--content", c, "--style", s, "--preset", "config1"]
+    cfg2 = config_from_args(build_parser().parse_args(argv2), argv2)
+    assert cfg2.compute_dtype == "float32"
 
 
 def test_cli_content_dir_batch(image_files, tmp_path):

@@ -130,3 +130,26 @@ def test_loop_config_canonicalization():
     e2 = StylizeConfig(tv_weight=9.0)
     assert e1.loop_config() == e2.loop_config()
     assert e1.loop_config() != StylizeConfig(tv_weight=0.0).loop_config()
+
+
+def test_prepare_config_canonicalization():
+    """Configs differing only in optimizer/schedule/observability fields
+    must share the precompute jit key (ADVICE r1: prepare_constants was
+    keyed on the FULL config, retracing on e.g. iteration-count changes)."""
+    from dpst_tpu.config import StylizeConfig
+    a = StylizeConfig(iterations=100, learning_rate=2.0, seed=1,
+                      checkpoint_dir="/tmp/x", intermediate_interval=7,
+                      style_weight=123.0, optimizer="adam",
+                      scales=(256, 512), init_mode="noise")
+    b = StylizeConfig(iterations=999, learning_rate=0.5, seed=2,
+                      style_weight=7.0, optimizer="lbfgs",
+                      init_mode="content")
+    assert a.prepare_config() == b.prepare_config()
+    assert hash(a.prepare_config()) == hash(b.prepare_config())
+    # fields the precompute actually reads must still differentiate
+    for kw in ({"pooling": "avg"}, {"compute_dtype": "float32"},
+               {"use_photorealism": False}, {"matting_epsilon": 1e-4},
+               {"mask_downsample": "nearest"},
+               {"style_layers": ("conv1_1",),
+                "style_layer_weights": (1.0,)}):
+        assert StylizeConfig(**kw).prepare_config() != a.prepare_config(), kw
