@@ -103,9 +103,9 @@ def _conv(p, x, stride=1, groups=1):
 
 
 @partial(jax.jit, static_argnames=("compute_dtype",))
-def score_distribution(params: dict, images: jnp.ndarray,
-                       compute_dtype: str = "bfloat16") -> jnp.ndarray:
-    """(B, 224, 224, 3) [0,255] RGB -> (B, 10) score distribution."""
+def backbone_features(params: dict, images: jnp.ndarray,
+                      compute_dtype: str = "bfloat16") -> jnp.ndarray:
+    """(B, 224, 224, 3) [0,255] RGB -> (B, 1024) GAP features."""
     cdt = jnp.dtype(compute_dtype)
     x = (images / 127.5 - 1.0).astype(cdt)        # MobileNet [-1, 1]
     x = _conv(params["stem"], x, stride=2)
@@ -114,7 +114,14 @@ def score_distribution(params: dict, images: jnp.ndarray,
         x = _conv(params[f"dw{i}"], x, stride=stride, groups=cin)
         x = _conv(params[f"pw{i}"], x)
         cin = cout
-    feat = jnp.mean(x.astype(jnp.float32), axis=(1, 2))   # GAP (B, 1024)
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2))   # GAP (B, 1024)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype",))
+def score_distribution(params: dict, images: jnp.ndarray,
+                       compute_dtype: str = "bfloat16") -> jnp.ndarray:
+    """(B, 224, 224, 3) [0,255] RGB -> (B, 10) score distribution."""
+    feat = backbone_features(params, images, compute_dtype)
     logits = feat @ params["head"]["w"] * params["head"]["scale"] \
         + params["head"]["bias"]
     return jax.nn.softmax(logits, axis=-1)

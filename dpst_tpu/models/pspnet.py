@@ -111,6 +111,35 @@ def get_params(weights_path: str | None = None, seed: int = 0) -> dict:
     return init_params(seed)
 
 
+def _resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]
+                          ) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True on (..., h, w, C).
+
+    The checkpoint lineage this model loads (hszhao/semseg PSPNet50)
+    upsamples PPM branches and logits with
+    `F.interpolate(..., mode="bilinear", align_corners=True)`; the fuse
+    conv's trained weights are conditioned on that exact interpolation.
+    jax.image.resize only offers half-pixel centers, so map coordinates
+    i = o*(in-1)/(out-1) via scale_and_translate:
+    scale=(out-1)/(in-1), translation=0.5*(1-scale)."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    if h == 1 and w == 1:   # PPM bin-1 branch: constant broadcast
+        return jnp.broadcast_to(x, x.shape[:-3] + (oh, ow, x.shape[-1]))
+    dtype = x.dtype
+    sh = (oh - 1) / (h - 1)
+    sw = (ow - 1) / (w - 1)
+    out = jax.image.scale_and_translate(
+        x.astype(jnp.float32), x.shape[:-3] + (oh, ow, x.shape[-1]),
+        (x.ndim - 3, x.ndim - 2),
+        jnp.array([sh, sw], jnp.float32),
+        jnp.array([0.5 * (1.0 - sh), 0.5 * (1.0 - sw)], jnp.float32),
+        "linear", antialias=False)
+    return out.astype(dtype)
+
+
 def _conv(params, name, x, stride=1, dilation=1, relu=True, cdt=None):
     p = params[name]
     w = p["w"].astype(x.dtype)
@@ -135,25 +164,33 @@ def _bottleneck(params, prefix, x, mid_stride, dilation, project):
     return jnp.maximum(y + shortcut, 0.0)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype",))
+@partial(jax.jit, static_argnames=("compute_dtype", "return_taps"))
 def forward(params: dict, images: jnp.ndarray,
-            compute_dtype: str = "bfloat16") -> jnp.ndarray:
-    """(B, 473, 473, 3) float [0,255] RGB -> (B, 473, 473, 150) logits."""
+            compute_dtype: str = "bfloat16",
+            return_taps: bool = False) -> jnp.ndarray:
+    """(B, 473, 473, 3) float [0,255] RGB -> (B, 473, 473, 150) logits.
+
+    With `return_taps=True` additionally returns the per-stage
+    activations (stem/res2..res5/ppm/fuse/logits) for numerical
+    cross-validation against the torch checkpoint lineage."""
     cdt = jnp.dtype(compute_dtype)
     x = (images - jnp.asarray(RGB_MEAN)) / jnp.asarray(RGB_STD)
     x = x.astype(cdt)
+    taps = {}
 
     x = _conv(params, "stem1", x, stride=2)
     x = _conv(params, "stem2", x)
     x = _conv(params, "stem3", x)
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+    taps["stem"] = x
 
     for si, (blocks, _cout, stride, dilation) in enumerate(STAGES):
         for b in range(blocks):
             x = _bottleneck(params, f"res{si + 2}_{b}", x,
                             mid_stride=stride if b == 0 else 1,
                             dilation=dilation, project=(b == 0))
+        taps[f"res{si + 2}"] = x
 
     # pyramid pooling: adaptive average pool to each bin grid
     feat = x                                   # (B, h, w, 2048), h = 60
@@ -165,16 +202,20 @@ def forward(params: dict, images: jnp.ndarray,
             feat, 0.0, jax.lax.add, (1, kh, kw, 1), (1, kh, kw, 1),
             "VALID") / jnp.asarray(kh * kw, feat.dtype)
         p = _conv(params, f"ppm{bin_}", p)
-        p = jax.image.resize(
-            p.astype(jnp.float32), (bsz, h, w, p.shape[-1]),
-            "bilinear").astype(feat.dtype)
+        # align_corners=True to match the semseg checkpoint convention
+        p = _resize_align_corners(p.astype(jnp.float32),
+                                  (h, w)).astype(feat.dtype)
         pooled.append(p)
     x = jnp.concatenate(pooled, axis=-1)
+    taps["ppm"] = x
     x = _conv(params, "fuse", x)
+    taps["fuse"] = x
     logits = _conv(params, "head", x, relu=False).astype(jnp.float32)
-    out = jax.image.resize(
-        logits, (bsz, images.shape[1], images.shape[2], N_CLASSES),
-        "bilinear")
+    taps["logits"] = logits
+    out = _resize_align_corners(
+        logits, (images.shape[1], images.shape[2]))
+    if return_taps:
+        return out, taps
     return out
 
 

@@ -133,25 +133,13 @@ def test_convert_vgg_caffe_convention(tmp_path):
 
 
 def test_convert_pspnet_roundtrip(tmp_path):
-    from dpst_tpu.models.pspnet import CONV_SPECS, load_params, segment
-    from tools.convert_pspnet import build_key_map
+    """Converter accepts the REAL semseg key layout (hard-coded in
+    reference_layouts.py, independent of build_key_map — the round-1
+    fixture was circular) and tolerates the aux-head extras."""
+    from dpst_tpu.models.pspnet import load_params, segment
+    from reference_layouts import semseg_pspnet_state
 
-    r = np.random.default_rng(1)
-    key_map = build_key_map()
-    state = {}
-    for name, kh, kw, cin, cout in CONV_SPECS:
-        if name == "head":
-            state["cls.4.weight"] = torch.from_numpy(
-                r.normal(0, 0.05, (cout, cin, 1, 1)).astype(np.float32))
-            state["cls.4.bias"] = torch.zeros(cout)
-            continue
-        conv_p, bn_p = key_map[name]
-        state[f"{conv_p}.weight"] = torch.from_numpy(
-            r.normal(0, 0.05, (cout, cin, kh, kw)).astype(np.float32))
-        state[f"{bn_p}.weight"] = torch.ones(cout)
-        state[f"{bn_p}.bias"] = torch.zeros(cout)
-        state[f"{bn_p}.running_mean"] = torch.zeros(cout)
-        state[f"{bn_p}.running_var"] = torch.ones(cout)
+    state = semseg_pspnet_state(seed=1)
     src = str(tmp_path / "pspnet.pth")
     dst = str(tmp_path / "pspnet.npz")
     torch.save(state, src)
