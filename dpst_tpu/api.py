@@ -61,10 +61,11 @@ def _prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
 
     smask_pyr = segmentation.layer_masks(
         style_masks, cfg.style_layers, cfg.mask_downsample)
+    gram_norm = "m1" if cfg.style_norm == "paper" else "m2"
     style_grams = {
         layer: losses_mod.masked_grams_fused(
             style_feats[layer], smask_pyr[layer],
-            compute_dtype=cfg.compute_dtype)
+            compute_dtype=cfg.compute_dtype, norm=gram_norm)
         for layer in cfg.style_layers}
 
     cmask_pyr = segmentation.layer_masks(

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--regularization-weight", type=float, default=1e4,
                    help="λ on the matting-Laplacian photorealism term")
     g.add_argument("--tv-weight", type=float, default=0.0)
+    g.add_argument("--style-norm", choices=("gatys", "paper"),
+                   default="gatys",
+                   help="style-loss normalization: 'paper' = reference-"
+                        "exact 1/(2N²) per-class scale (docs/PARITY.md)")
 
     g = p.add_argument_group("optimization")
     g.add_argument("--iterations", type=int, default=500)
@@ -144,7 +148,8 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "content_weight": "content_weight",
             "style_weight": "style_weight",
             "regularization_weight": "regularization_weight",
-            "tv_weight": "tv_weight", "iterations": "iterations",
+            "tv_weight": "tv_weight", "style_norm": "style_norm",
+            "iterations": "iterations",
             "optimizer": "optimizer", "lr": "learning_rate",
             "init": "init_mode", "seed": "seed",
             "similarity_metric": "similarity_metric",
@@ -178,6 +183,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         style_weight=args.style_weight,
         regularization_weight=args.regularization_weight,
         tv_weight=args.tv_weight,
+        style_norm=args.style_norm,
         iterations=args.iterations,
         optimizer=args.optimizer,
         learning_rate=args.lr,

@@ -52,6 +52,13 @@ class StylizeConfig:
         "conv1_1", "conv2_1", "conv3_1", "conv4_1", "conv5_1")
     content_layers: Tuple[str, ...] = ("conv4_2",)
     style_layer_weights: Tuple[float, ...] = (0.2, 0.2, 0.2, 0.2, 0.2)
+    # Style-loss normalization (docs/PARITY.md "loss scale mapping"):
+    #   "gatys": Σm²-normalized Grams, 1/(4C²) scale, coverage-weighted
+    #            classes (this repo's default).
+    #   "paper": reference-exact (SURVEY.md §2 comp.4) — Σm-normalized
+    #            Grams, ½‖ΔG‖² per class, NO coverage reweighting; the
+    #            reference's (α, Γ, λ) transfer at face value.
+    style_norm: str = "gatys"
     pooling: str = "max"                 # "max" | "avg"
     compute_dtype: str = "bfloat16"      # conv compute dtype on TPU
     # fp32 accumulation is always used (preferred_element_type)
@@ -139,6 +146,8 @@ class StylizeConfig:
             raise ValueError(f"unknown laplacian_impl {self.laplacian_impl!r}")
         if self.conv_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
+        if self.style_norm not in ("gatys", "paper"):
+            raise ValueError(f"unknown style_norm {self.style_norm!r}")
 
 
 # Named presets matching BASELINE.json configs 1-5.

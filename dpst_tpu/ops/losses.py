@@ -40,11 +40,15 @@ def gram_matrix(feat: jnp.ndarray) -> jnp.ndarray:
 
 def masked_gram(feat: jnp.ndarray, mask: jnp.ndarray,
                 eps: float = 1e-8,
-                compute_dtype: str | jnp.dtype = "float32") -> jnp.ndarray:
+                compute_dtype: str | jnp.dtype = "float32",
+                norm: str = "m2") -> jnp.ndarray:
     """Gram of mask-weighted features, normalized by effective pixel count.
 
     feat: (H, W, C); mask: (H, W) soft in [0,1].
-    G = (M∘F)ᵀ(M∘F) / max(Σ m², eps)  — an all-zero mask yields G = 0.
+    G = (M∘F)ᵀ(M∘F) / max(n, eps)  — an all-zero mask yields G = 0 —
+    with n = Σ m² (`norm="m2"`, this repo's default: the exact soft-mask
+    analogue of "pixels in the region") or n = Σ m (`norm="m1"`, the
+    reference lineage's normalizer; identical for binary masks).
 
     compute_dtype: dtype of the masking multiply and matmul operands
     (accumulation is always fp32). bfloat16 runs the MXU at full rate and
@@ -56,14 +60,14 @@ def masked_gram(feat: jnp.ndarray, mask: jnp.ndarray,
     cdt = jnp.dtype(compute_dtype)
     fm = (feat.astype(cdt) * mask[..., None].astype(cdt)).reshape(h * w, c)
     g = jnp.dot(fm.T, fm, preferred_element_type=jnp.float32)
-    n = jnp.sum(mask * mask)
+    n = jnp.sum(mask * mask) if norm == "m2" else jnp.sum(mask)
     return g / jnp.maximum(n, eps)
 
 
 def masked_grams_fused(feat: jnp.ndarray, masks: jnp.ndarray,
                        eps: float = 1e-8,
-                       compute_dtype: str | jnp.dtype = "float32"
-                       ) -> jnp.ndarray:
+                       compute_dtype: str | jnp.dtype = "float32",
+                       norm: str = "m2") -> jnp.ndarray:
     """All K masked Grams in ONE matmul: (H, W, C) × (K, H, W) -> (K, C, C).
 
     Builds the mask-weighted feature block F_w of shape (P, K·C) and
@@ -71,6 +75,8 @@ def masked_grams_fused(feat: jnp.ndarray, masks: jnp.ndarray,
     K small (C, P)×(P, C) ones. Same FLOPs and HBM bytes, but the output
     tile is K× wider, so the systolic array runs at far higher occupancy
     (K=4, C=64 at conv1_1: 64×256 vs 64×64 output tiles).
+
+    `norm` as in masked_gram ("m2" default, "m1" reference lineage).
     """
     h, w, c = feat.shape
     k = masks.shape[0]
@@ -81,7 +87,9 @@ def masked_grams_fused(feat: jnp.ndarray, masks: jnp.ndarray,
     fw = (f[:, None, :] * m2.T[:, :, None]).reshape(h * w, k * c)
     g = jnp.dot(f.T, fw, preferred_element_type=jnp.float32)
     g = g.reshape(c, k, c).transpose(1, 0, 2)            # (K, C, C)
-    n = jnp.sum(masks.astype(jnp.float32) ** 2, axis=(1, 2))
+    masks32 = masks.astype(jnp.float32)
+    n = (jnp.sum(masks32 ** 2, axis=(1, 2)) if norm == "m2"
+         else jnp.sum(masks32, axis=(1, 2)))
     return g / jnp.maximum(n, eps)[:, None, None]
 
 
@@ -89,23 +97,39 @@ def style_layer_loss(feat_out: jnp.ndarray,
                      style_grams: jnp.ndarray,
                      out_masks: jnp.ndarray,
                      coverage: jnp.ndarray,
-                     compute_dtype: str | jnp.dtype = "float32"
-                     ) -> jnp.ndarray:
+                     compute_dtype: str | jnp.dtype = "float32",
+                     style_norm: str = "gatys") -> jnp.ndarray:
     """Masked Gram style loss for one VGG layer, summed over classes.
 
     feat_out:    (H, W, C) output-image features at this layer.
-    style_grams: (K, C, C) precomputed masked Grams of the STYLE image.
+    style_grams: (K, C, C) precomputed masked Grams of the STYLE image
+                 (normalizer matching `style_norm` — see
+                 api.prepare_constants).
     out_masks:   (K, H, W) content-image masks at this layer's resolution
                  (the output is spatially aligned with the content image).
     coverage:    (K,) per-class weights (content-mask coverage fractions);
                  zero rows of padding carry zero coverage → zero loss.
+                 Ignored in "paper" mode (padding still contributes 0:
+                 both Grams vanish).
 
-    Per class: coverage_k / (4 C²) · Σ (G_out,k − G_style,k)²   (Gatys
-    normalization with pixel-normalized Grams; paper eqs. 3-4).
+    style_norm="gatys" (default): per class,
+        coverage_k / (4 C²) · Σ (G_out,k − G_style,k)²
+    with Σm²-normalized Grams — Gatys normalization, coverage-weighted.
+    style_norm="paper": reference-exact (SURVEY.md §2 comp.4,
+    arXiv:1703.07511 eqs. 3-4): per class, ½ Σ (ΔG)² with Σm-normalized
+    Grams (the 1/(2 N_{l,c}²) per-class scale with each Gram normalized
+    by its own region size) and NO coverage reweighting.
     """
     h, w, c = feat_out.shape
     k = out_masks.shape[0]
-    scale = 1.0 / (4.0 * c * c)
+    if style_norm == "paper":
+        scale = 0.5
+        class_w = jnp.ones_like(coverage)
+        norm = "m1"
+    else:
+        scale = 1.0 / (4.0 * c * c)
+        class_w = coverage
+        norm = "m2"
 
     # fused single-matmul path unless the (P, K·C) weighted block would
     # be huge (≳1 GB bf16, e.g. conv1_1 at 1024² with K=8) — then fall
@@ -113,33 +137,36 @@ def style_layer_loss(feat_out: jnp.ndarray,
     # K=4: fused 19.4 it/s vs scan 15.1 it/s — fused wins while it fits.
     if h * w * k * c <= (1 << 28):
         g_o = masked_grams_fused(feat_out, out_masks,
-                                 compute_dtype=compute_dtype)  # (K,C,C)
+                                 compute_dtype=compute_dtype,
+                                 norm=norm)                # (K,C,C)
         d = g_o - style_grams
         per_class = jnp.sum(d * d, axis=(1, 2))
-        return scale * jnp.sum(coverage * per_class)
+        return scale * jnp.sum(class_w * per_class)
 
     feat_out = feat_out.astype(jnp.dtype(compute_dtype))
 
     def body(acc, inp):
         g_s, m, r = inp
-        g_o = masked_gram(feat_out, m, compute_dtype=compute_dtype)
+        g_o = masked_gram(feat_out, m, compute_dtype=compute_dtype,
+                          norm=norm)
         d = g_o - g_s
         return acc + r * scale * jnp.sum(d * d), None
 
     total, _ = jax.lax.scan(
-        body, jnp.float32(0.0), (style_grams, out_masks, coverage))
+        body, jnp.float32(0.0), (style_grams, out_masks, class_w))
     return total
 
 
 def style_loss(feats_out: dict, style_grams: dict, out_masks: dict,
                coverage: jnp.ndarray, layer_weights: dict,
-               compute_dtype: str | jnp.dtype = "float32") -> jnp.ndarray:
+               compute_dtype: str | jnp.dtype = "float32",
+               style_norm: str = "gatys") -> jnp.ndarray:
     """Sum of per-layer masked style losses, weighted per layer."""
     total = jnp.float32(0.0)
     for layer, w in layer_weights.items():
         total = total + w * style_layer_loss(
             feats_out[layer], style_grams[layer], out_masks[layer],
-            coverage, compute_dtype)
+            coverage, compute_dtype, style_norm)
     return total
 
 

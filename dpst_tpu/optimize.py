@@ -77,7 +77,8 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
 
         l_style = losses.style_loss(
             feats, consts.style_grams, consts.masks, consts.coverage,
-            style_lw, compute_dtype=cfg.compute_dtype)
+            style_lw, compute_dtype=cfg.compute_dtype,
+            style_norm=cfg.style_norm)
 
         if cfg.use_photorealism and consts.lap_stats is not None:
             l_reg = lap.photoreal_loss(

@@ -24,16 +24,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Function-scoped so each test sees a deterministic stream
+    regardless of which other tests ran (a session-scoped generator made
+    test inputs depend on collection order)."""
     return np.random.default_rng(42)
 
 
 @pytest.fixture(scope="session")
-def small_images(rng):
+def small_images():
     """Deterministic 32×32 content/style pair in [0, 255]."""
-    content = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
-    style = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    r = np.random.default_rng(42)
+    content = r.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (32, 32, 3)).astype(np.float32)
     return content, style
 
 

@@ -57,6 +57,22 @@ def test_external_masks(pair):
     assert np.all(np.isfinite(out))
 
 
+def test_paper_style_norm_end_to_end(pair):
+    """Reference-exact normalization mode converges end to end; the two
+    modes genuinely optimize different objectives."""
+    content, style = pair
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=10,
+                        style_norm="paper", style_weight=1e-4)
+    out, hist = stylize(content, style, cfg, return_history=True)
+    assert np.all(np.isfinite(out))
+    assert hist[-1, 0] < hist[0, 0]
+    cfg_g = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                          compute_dtype="float32", iterations=10)
+    _, hist_g = stylize(content, style, cfg_g, return_history=True)
+    assert not np.isclose(hist[0, 2], hist_g[0, 2])  # style terms differ
+
+
 def test_one_sided_masks_raise(pair):
     """Exactly one of content_masks/style_masks is an error — the class
     channels must be aligned, and silently recomputing the provided

@@ -97,3 +97,70 @@ def test_fused_grams_match_per_class(rng):
             jnp.asarray(f), jnp.asarray(masks[k])))
         np.testing.assert_allclose(fused[k], single, rtol=1e-4,
                                    atol=1e-6, err_msg=f"class {k}")
+
+
+def test_masked_gram_m1_norm_vs_numpy(rng):
+    """norm="m1" (reference lineage): G = (M∘F)ᵀ(M∘F) / Σm."""
+    f = rng.normal(size=(8, 8, 16)).astype(np.float32)
+    m = rng.uniform(size=(8, 8)).astype(np.float32)
+    g = np.asarray(losses.masked_gram(jnp.asarray(f), jnp.asarray(m),
+                                      norm="m1"))
+    fm = (f * m[..., None]).reshape(-1, 16).astype(np.float64)
+    expected = (fm.T @ fm) / m.astype(np.float64).sum()
+    np.testing.assert_allclose(g, expected, rtol=1e-4, atol=1e-7)
+    g_fused = np.asarray(losses.masked_grams_fused(
+        jnp.asarray(f), jnp.asarray(m)[None], norm="m1"))[0]
+    np.testing.assert_allclose(g_fused, expected, rtol=1e-4, atol=1e-7)
+
+
+def test_paper_style_norm_vs_numpy(rng):
+    """style_norm="paper" (SURVEY.md §2 comp.4): per class,
+    ½‖ΔG‖² with Σm-normalized Grams and NO coverage reweighting —
+    hand-rolled end to end in numpy (VERDICT r1 #3)."""
+    f_out = rng.normal(size=(8, 8, 16)).astype(np.float32)
+    f_sty = rng.normal(size=(8, 8, 16)).astype(np.float32)
+    cmasks = rng.uniform(size=(3, 8, 8)).astype(np.float32)
+    smasks = rng.uniform(size=(3, 8, 8)).astype(np.float32)
+    coverage = np.array([0.5, 0.3, 0.2], np.float32)  # must be IGNORED
+
+    def np_gram_m1(f, m):
+        fm = (f * m[..., None]).reshape(-1, f.shape[-1]).astype(np.float64)
+        return (fm.T @ fm) / max(m.astype(np.float64).sum(), 1e-8)
+
+    expected = 0.0
+    for k in range(3):
+        d = np_gram_m1(f_out, cmasks[k]) - np_gram_m1(f_sty, smasks[k])
+        expected += 0.5 * np.sum(d * d)
+
+    style_grams = losses.masked_grams_fused(
+        jnp.asarray(f_sty), jnp.asarray(smasks), norm="m1")
+    got = float(losses.style_layer_loss(
+        jnp.asarray(f_out), style_grams, jnp.asarray(cmasks),
+        jnp.asarray(coverage), style_norm="paper"))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+    # gatys mode on the same inputs differs (different normalization)
+    style_grams_g = losses.masked_grams_fused(
+        jnp.asarray(f_sty), jnp.asarray(smasks))
+    got_gatys = float(losses.style_layer_loss(
+        jnp.asarray(f_out), style_grams_g, jnp.asarray(cmasks),
+        jnp.asarray(coverage)))
+    assert not np.isclose(got, got_gatys)
+
+
+def test_paper_style_norm_padding_invariant(rng):
+    """Zero-mask padding rows contribute exactly 0 in paper mode too."""
+    f = rng.normal(size=(8, 8, 16)).astype(np.float32)
+    masks2 = rng.uniform(size=(2, 8, 8)).astype(np.float32)
+    grams2 = rng.normal(size=(2, 16, 16)).astype(np.float32)
+    cov2 = np.ones(2, np.float32)
+    loss2 = float(losses.style_layer_loss(
+        jnp.asarray(f), jnp.asarray(grams2), jnp.asarray(masks2),
+        jnp.asarray(cov2), style_norm="paper"))
+    masks4 = np.concatenate([masks2, np.zeros((2, 8, 8), np.float32)])
+    grams4 = np.concatenate([grams2, np.zeros((2, 16, 16), np.float32)])
+    cov4 = np.concatenate([cov2, np.ones(2, np.float32)])
+    loss4 = float(losses.style_layer_loss(
+        jnp.asarray(f), jnp.asarray(grams4), jnp.asarray(masks4),
+        jnp.asarray(cov4), style_norm="paper"))
+    np.testing.assert_allclose(loss4, loss2, rtol=1e-6)
