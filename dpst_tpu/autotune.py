@@ -58,8 +58,8 @@ def _sweep(image0, consts, gammas, vgg_params, cfg: StylizeConfig,
             reg=jnp.float32(cfg.regularization_weight),
             tv=jnp.float32(cfg.tv_weight))
         img, _, hist = optimize.run_segment(
-            image0, opt.init(image0), consts, weights, vgg_params,
-            n_steps=n_steps, cfg=loop_cfg)
+            image0, optimize.init_opt_state(opt, loop_cfg, image0),
+            consts, weights, vgg_params, n_steps=n_steps, cfg=loop_cfg)
         return img, hist
 
     return jax.vmap(run_one)(gammas)

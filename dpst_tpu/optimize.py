@@ -104,6 +104,35 @@ def make_optimizer(cfg: StylizeConfig) -> optax.GradientTransformation:
     return optax.lbfgs()
 
 
+# --- L-BFGS pixel parameterization ---------------------------------------
+# Hard clipping after every step (the Adam projection) would invalidate
+# L-BFGS's curvature pairs and the Wolfe linesearch. Instead, when
+# clip_pixels is set, L-BFGS optimizes an unconstrained logit image u with
+# pixels = 255*sigmoid(u) — a smooth bijection onto (0, 255) that keeps
+# the quasi-Newton assumptions intact while enforcing the box exactly.
+_LOGIT_EPS = 1e-4
+
+
+def pixels_to_logits(image: jnp.ndarray) -> jnp.ndarray:
+    p = jnp.clip(image.astype(jnp.float32) / 255.0,
+                 _LOGIT_EPS, 1.0 - _LOGIT_EPS)
+    return jnp.log(p) - jnp.log1p(-p)
+
+
+def logits_to_pixels(u: jnp.ndarray) -> jnp.ndarray:
+    return 255.0 * jax.nn.sigmoid(u)
+
+
+def init_opt_state(opt: optax.GradientTransformation, cfg: StylizeConfig,
+                   image0: jnp.ndarray):
+    """Optimizer state for `image0` — in logit space for constrained
+    L-BFGS (the lbfgs state stores the current params for its s-vectors,
+    so it must be initialized in the space the loop steps in)."""
+    if cfg.optimizer == "lbfgs" and cfg.clip_pixels:
+        return opt.init(pixels_to_logits(image0))
+    return opt.init(image0)
+
+
 @partial(jax.jit, static_argnames=("n_steps", "cfg"))
 def run_segment(image: jnp.ndarray, opt_state, consts: StylizeConstants,
                 weights: LossWeights, vgg_params: dict, *, n_steps: int,
@@ -128,19 +157,32 @@ def run_segment(image: jnp.ndarray, opt_state, consts: StylizeConstants,
             if cfg.clip_pixels:
                 img = jnp.clip(img, 0.0, 255.0)
             return (img, st), terms
-    else:  # lbfgs — linesearch needs value_fn; no per-step clipping
-        scalar_loss = lambda img: loss_fn(img, consts, weights,
-                                          vgg_params)[0]
+    else:  # lbfgs — Wolfe linesearch needs value_fn; the box constraint
+        # is enforced by the smooth sigmoid parameterization (see
+        # pixels_to_logits) rather than per-step clipping.
+        boxed = cfg.clip_pixels
+        to_img = logits_to_pixels if boxed else (lambda u: u)
+        scalar_loss = lambda u: loss_fn(to_img(u), consts, weights,
+                                        vgg_params)[0]
         vg = optax.value_and_grad_from_state(scalar_loss)
 
         def step(carry, _):
-            img, st = carry
-            value, grad = vg(img, state=st)
-            updates, st = opt.update(grad, st, img, value=value, grad=grad,
+            u, st = carry
+            # per-term history at the pre-update point (same convention
+            # as the Adam branch); forward-only — the optimizer's
+            # value/grad are reused from the linesearch cache in `st`.
+            _, terms = loss_fn(to_img(u), consts, weights, vgg_params)
+            value, grad = vg(u, state=st)
+            updates, st = opt.update(grad, st, u, value=value, grad=grad,
                                      value_fn=scalar_loss)
-            img = optax.apply_updates(img, updates)
-            terms = jnp.stack([value] + [jnp.float32(0.0)] * 4)
-            return (img, st), terms
+            u = optax.apply_updates(u, updates)
+            return (u, st), terms
+
+        if boxed:
+            u0 = pixels_to_logits(image)
+            (u_final, opt_state), history = jax.lax.scan(
+                step, (u0, opt_state), None, length=n_steps)
+            return logits_to_pixels(u_final), opt_state, history
 
     (image, opt_state), history = jax.lax.scan(
         step, (image, opt_state), None, length=n_steps)
@@ -179,7 +221,7 @@ def run(image0: jnp.ndarray, consts: StylizeConstants, weights: LossWeights,
     """
     loop_cfg = cfg.loop_config()
     opt = make_optimizer(loop_cfg)
-    opt_state = opt.init(image0)
+    opt_state = init_opt_state(opt, loop_cfg, image0)
     total_iters = cfg.iterations if iterations is None else iterations
 
     interval = cfg.intermediate_interval if (callback or checkpointer) \

@@ -50,7 +50,7 @@ def run_batch(images, consts, weights, vgg_params, cfg: StylizeConfig,
     opt = optimize.make_optimizer(loop_cfg)
 
     def run_one(image, consts_one, weights_one):
-        opt_state = opt.init(image)
+        opt_state = optimize.init_opt_state(opt, loop_cfg, image)
         img, _, hist = optimize.run_segment(
             image, opt_state, consts_one, weights_one, vgg_params,
             n_steps=n_steps, cfg=loop_cfg)
@@ -111,9 +111,11 @@ def stylize_batch(contents, styles, cmasks, smasks,
     weights_r = (mesh_lib.shard_batch(weights, mesh) if per_pair_weights
                  else mesh_lib.replicate(weights, mesh))
 
-    consts = prepare_batch(*batch, params_r, cfg)
+    # canonicalized static keys (CLAUDE.md rule 7): precompute and loop
+    # each compile once across runs differing only in non-read fields
+    consts = prepare_batch(*batch, params_r, cfg.prepare_config())
     images0 = jax.vmap(partial(optimize.init_image, cfg))(batch[0])
     images, history = run_batch(
-        images0, consts, weights_r, params_r, cfg, cfg.iterations,
-        per_pair_weights)
+        images0, consts, weights_r, params_r, cfg.loop_config(),
+        cfg.iterations, per_pair_weights)
     return images, history

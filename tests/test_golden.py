@@ -72,3 +72,31 @@ def test_golden_config2_masked():
         os.path.join(GOLDEN_DIR, "config2_masked_48px_loss.npy"))
     np.testing.assert_allclose(np.asarray(hist[:, 0]), golden_loss,
                                rtol=5e-3)
+
+
+def test_golden_lbfgs_config3():
+    """L-BFGS golden (VERDICT r1 #4): the constrained (sigmoid-boxed)
+    L-BFGS trajectory on the full config-3 objective is pinned the same
+    way the Adam path is — image via SSIM, loss curve via allclose."""
+    from dpst_tpu import StylizeConfig, stylize
+    from dpst_tpu.ops.metrics import ssim
+
+    content, style = _pair()
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=True,
+                        laplacian_impl="xla", compute_dtype="float32",
+                        iterations=40, optimizer="lbfgs",
+                        regularization_weight=100.0)
+    out, hist = stylize(content, style, cfg, return_history=True)
+
+    golden = np.load(os.path.join(GOLDEN_DIR, "lbfgs_config3_48px.npy"))
+    s = float(ssim(out, golden))
+    assert s >= 0.98, f"SSIM vs L-BFGS golden = {s}"
+    golden_loss = np.load(
+        os.path.join(GOLDEN_DIR, "lbfgs_config3_48px_loss.npy"))
+    # looser than the Adam goldens: the Wolfe linesearch's accept/reject
+    # branches amplify sub-ulp environment differences into a few
+    # percent of curve wobble (the image itself stays SSIM-pinned)
+    np.testing.assert_allclose(np.asarray(hist[:, 0]), golden_loss,
+                               rtol=8e-2)
+    # linesearch quality: ~16x loss reduction in 40 steps on this run
+    assert hist[0, 0] / hist[-1, 0] > 10.0
