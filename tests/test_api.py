@@ -97,6 +97,61 @@ def test_multiscale(pair):
     assert np.all(np.isfinite(out))
 
 
+def test_scale_schedule_invariants():
+    """No stage exceeds native; duplicates merge; final stage is native
+    (VERDICT r1 #8)."""
+    from dpst_tpu.api import _scale_schedule
+
+    # scales above the native size clamp to it and merge
+    cfg = StylizeConfig(iterations=100, scales=(256, 512, 1024))
+    stages = _scale_schedule(cfg, (512, 384))
+    assert stages == [(256, 192, 100), (512, 384, 200)]
+    assert all(h <= 512 and w <= 384 for h, w, _ in stages)
+
+    # all-coarser schedule still finishes at the native size
+    cfg2 = StylizeConfig(iterations=50, scales=(128, 256))
+    stages2 = _scale_schedule(cfg2, (512, 512))
+    assert stages2[-1][:2] == (512, 512)
+    assert stages2[0][:2] == (128, 128)
+
+    # iteration decay applies per original schedule position
+    cfg3 = StylizeConfig(iterations=100, scales=(256, 512),
+                         scale_iter_factor=0.5)
+    stages3 = _scale_schedule(cfg3, (512, 512))
+    assert stages3 == [(256, 256, 50), (512, 512, 100)]
+
+
+def test_multiscale_output_matches_requested_size(pair):
+    """Oversized scales entries must not inflate the output shape."""
+    content, style = pair
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=3,
+                        scales=(16, 32, 64))   # 64 > the 32px content
+    out = stylize(content, style, cfg)
+    assert out.shape == content.shape
+
+
+def test_multiscale_per_stage_resume(pair, tmp_path):
+    """A resumed multi-scale run restores every completed stage from its
+    own checkpoint key instead of redoing coarse stages."""
+    import os
+    content, style = pair
+    ckdir = str(tmp_path / "ck")
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,
+                        compute_dtype="float32", iterations=6,
+                        scales=(16, 32), checkpoint_dir=ckdir,
+                        intermediate_interval=3)
+    out1, hist1 = stylize(content, style, cfg, return_history=True)
+    stage_dirs = sorted(os.listdir(ckdir))
+    assert stage_dirs == ["stage0_16x16", "stage1_32x32"]
+    assert len(hist1) == 12
+
+    out2, hist2 = stylize(content, style, cfg, resume=True,
+                          return_history=True)
+    assert len(hist2) == 0          # nothing re-run, every stage restored
+    np.testing.assert_allclose(out2, out1, atol=1e-4)
+
+
 def test_size_argument(pair):
     content, style = pair
     cfg = StylizeConfig(use_segmentation=False, use_photorealism=False,

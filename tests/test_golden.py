@@ -100,3 +100,31 @@ def test_golden_lbfgs_config3():
                                rtol=8e-2)
     # linesearch quality: ~16x loss reduction in 40 steps on this run
     assert hist[0, 0] / hist[-1, 0] > 10.0
+
+
+def test_golden_config4_multiscale():
+    """Config-4 (multi-scale coarse-to-fine) golden: pins the schedule
+    clamping, inter-stage image carry, and per-stage constants. Loss
+    magnitudes are NOT comparable across stages (different resolutions),
+    so convergence is asserted per stage."""
+    from dpst_tpu import StylizeConfig, stylize
+    from dpst_tpu.ops.metrics import ssim
+
+    content, style = _pair()
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=True,
+                        laplacian_impl="xla", compute_dtype="float32",
+                        iterations=30, scales=(16, 32, 48),
+                        regularization_weight=100.0)
+    out, hist = stylize(content, style, cfg, return_history=True)
+    assert out.shape == content.shape
+
+    golden = np.load(os.path.join(GOLDEN_DIR,
+                                  "config4_multiscale_48px.npy"))
+    s = float(ssim(out, golden))
+    assert s >= 0.98, f"SSIM vs config4 golden = {s}"
+    golden_loss = np.load(
+        os.path.join(GOLDEN_DIR, "config4_multiscale_48px_loss.npy"))
+    np.testing.assert_allclose(np.asarray(hist[:, 0]), golden_loss,
+                               rtol=5e-3)
+    for a, b in ((0, 30), (30, 60), (60, 90)):     # per-stage descent
+        assert hist[b - 1, 0] < 0.2 * hist[a, 0]
