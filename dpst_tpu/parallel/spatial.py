@@ -39,28 +39,45 @@ def _row_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def _row_put(x, mesh: Mesh, axis: int):
+    """Row-shard `x` on `axis`, falling back to replication only when the
+    axis does not divide the mesh (deep VGG layers at small sizes)."""
+    x = jnp.asarray(x)
+    if x.shape[axis] % mesh.devices.size == 0:
+        return jax.device_put(x, _row_sharding(mesh, x.ndim, axis))
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
 def shard_spatial(consts: optimize.StylizeConstants, image: jnp.ndarray,
                   mesh: Mesh):
-    """Lay out the image and every per-pixel constant row-sharded; scalars
-    and Grams replicated. XLA propagates shardings from there."""
+    """Explicit per-field layout for the loop constants (VERDICT r1 #7):
+
+      content_feats {layer: (h, w, C)}  → rows (axis 0) sharded
+      masks         {layer: (K, h, w)}  → rows (axis 1) sharded
+      lap_stats     (all (H, W, ...))   → rows (axis 0) sharded
+      style_grams   {layer: (K, C, C)}  → REPLICATED
+      coverage      (K,)                → REPLICATED
+
+    Field identity decides placement — never shape divisibility — so a
+    (K, C, C) Gram whose K happens to divide the mesh can never be
+    mis-sharded along a non-spatial axis. Row sharding falls back to
+    replication per-leaf only when the spatial axis does not divide the
+    mesh (deep pyramid levels). XLA propagates from there.
+    """
     repl = NamedSharding(mesh, P())
-
-    def place(x):
-        x = jnp.asarray(x)
-        # shard anything carrying a spatial row axis compatible with the
-        # mesh; replicate small per-class/scalar data
-        if x.ndim >= 2 and x.shape[0] % mesh.devices.size == 0 \
-                and x.shape[0] >= mesh.devices.size * 8:
-            return jax.device_put(x, _row_sharding(mesh, x.ndim, 0))
-        if x.ndim >= 3 and x.shape[1] % mesh.devices.size == 0 \
-                and x.shape[1] >= mesh.devices.size * 8:
-            # (K, H, W) mask stacks / (P, H, W) planes: rows are axis 1
-            return jax.device_put(x, _row_sharding(mesh, x.ndim, 1))
-        return jax.device_put(x, repl)
-
+    consts = optimize.StylizeConstants(
+        content_feats={k: _row_put(v, mesh, 0)
+                       for k, v in consts.content_feats.items()},
+        style_grams=jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), repl),
+            consts.style_grams),
+        masks={k: _row_put(v, mesh, 1) for k, v in consts.masks.items()},
+        coverage=jax.device_put(jnp.asarray(consts.coverage), repl),
+        lap_stats=None if consts.lap_stats is None else jax.tree.map(
+            lambda x: _row_put(x, mesh, 0), consts.lap_stats),
+    )
     image = jax.device_put(jnp.asarray(image),
                            _row_sharding(mesh, 3, 0))
-    consts = jax.tree.map(place, consts)
     return consts, image
 
 

@@ -79,3 +79,53 @@ def test_image_actually_sharded(pair):
                              mesh=mesh)
     shard_shapes = {s.data.shape for s in img.addressable_shards}
     assert shard_shapes == {(16, 64, 3)}, shard_shapes
+
+
+def test_constants_placement_is_field_explicit(pair):
+    """shard_spatial places by FIELD, not shape (VERDICT r1 #7): Grams
+    and coverage replicate even when their leading axis happens to
+    divide the mesh; features/masks/lap stats are row-sharded."""
+    import jax.numpy as jnp
+    from dpst_tpu import optimize, prepare_constants
+    from dpst_tpu.models import vgg
+    from dpst_tpu.parallel.spatial import make_spatial_mesh, shard_spatial
+
+    content, style, _, _ = pair
+    # K = 4 == mesh size: the round-1 divisibility heuristic would have
+    # sharded the (4, C, C) Grams and (4,) coverage along K
+    mc = np.zeros((4, 64, 64), np.float32)
+    for k in range(4):
+        mc[k, k * 16:(k + 1) * 16] = 1.0
+    from dpst_tpu import StylizeConfig
+    cfg = StylizeConfig(use_segmentation=True, use_photorealism=True,
+                        laplacian_impl="xla", compute_dtype="float32",
+                        max_classes=4, iterations=2)
+    params = vgg.init_params(seed=0)
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(mc),
+        jnp.asarray(mc), cfg, params)
+    mesh = make_spatial_mesh(4)
+    consts, image = shard_spatial(
+        consts, optimize.init_image(cfg, jnp.asarray(content)), mesh)
+
+    for layer, g in consts.style_grams.items():
+        assert g.sharding.is_fully_replicated, (layer, g.sharding)
+    assert consts.coverage.sharding.is_fully_replicated
+    # masks: row axis 1 sharded where divisible (64, 32, 16 ÷ 4; 8 ÷ 4; 4 = mesh)
+    for layer, m in consts.masks.items():
+        if m.shape[1] % 4 == 0:
+            shapes = {s.data.shape for s in m.addressable_shards}
+            assert shapes == {(m.shape[0], m.shape[1] // 4, m.shape[2])}, \
+                (layer, shapes)
+    # content features: row axis 0 sharded where divisible
+    for layer, f in consts.content_feats.items():
+        if f.shape[0] % 4 == 0:
+            shapes = {s.data.shape for s in f.addressable_shards}
+            assert shapes == {(f.shape[0] // 4,) + f.shape[1:]}, \
+                (layer, shapes)
+    # Laplacian stats: all (H, W, ...) planes row-sharded
+    for x in consts.lap_stats:
+        shapes = {s.data.shape for s in x.addressable_shards}
+        assert shapes == {(16,) + x.shape[1:]}, x.shape
+    shapes = {s.data.shape for s in image.addressable_shards}
+    assert shapes == {(16, 64, 3)}
