@@ -1,16 +1,25 @@
-"""Benchmark: 512² full deep-photo stylization on one TPU chip.
+"""Benchmark: all five BASELINE.md configs on one TPU chip.
 
-Measures the BASELINE.md tracked metric — optimization iters/sec at
-512×512 with ALL loss terms active (content + segmentation-masked Gram
-style + matting-Laplacian photorealism), i.e. BASELINE config 3 — and
-projects wall-clock for the 500-iteration north-star run.
+Emits ONE JSON line PER CONFIG (VERDICT r1 #6), headline last:
 
-vs_baseline: north-star target is <30 s to convergence (500 iters) on one
-v5e chip (BASELINE.json:5); reported as 30 / projected_seconds, so >1.0
-beats the target. The reference publishes no numbers (BASELINE.md) — the
-north-star target is the bar.
+  config1  256² content + Gram style only (CPU-runnable slice), it/s
+  config2  512² segmentation-masked per-class style, it/s
+  config4  1024² multi-scale coarse-to-fine, warm wall-clock
+  config5  8-pair batch on this chip (B=1-equivalent throughput; DP
+           scaling itself is cross-chip and exercised on the virtual
+           mesh — parallel/batch.py)
+  config3  512² FULL deep-photo (content + masked style + Laplacian) —
+           the tracked headline metric, printed LAST so drivers that
+           parse the final line keep the round-over-round series.
 
-Prints ONE JSON line.
+vs_baseline: north-star is <30 s for the 500-iteration 512² full run on
+one v5e chip (BASELINE.json:5); each line reports 30 / its projected
+500-iteration (or measured total) wall-clock, so >1.0 beats the target.
+The reference publishes no numbers (BASELINE.md) — the target is the bar.
+
+Timing discipline (CLAUDE.md rule 2): on the axon remote-TPU backend
+`block_until_ready` can return before results materialize, so every
+timed window closes with a device→host fetch.
 """
 import json
 import signal
@@ -22,7 +31,7 @@ import numpy as np
 # generous: a fully cold compilation cache through the remote-compile
 # tunnel costs minutes; the watchdog exists for WEDGED workers (hours),
 # not slow compiles — a false trip would record a bogus 0 for the round
-WATCHDOG_SECS = 1500
+WATCHDOG_SECS = 2400
 
 
 def _watchdog(signum, frame):
@@ -36,6 +45,89 @@ def _watchdog(signum, frame):
     sys.exit(2)
 
 
+def _pair(h, w, seed=0):
+    """Structured content (smooth regions + edges — realistic Laplacian
+    sparsity), textured style."""
+    r = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    content = np.stack([
+        120 + 80 * yy / h, 90 + 60 * xx / w, 200 - 120 * yy / h], axis=-1)
+    content[h // 2:, :] = [70, 120, 60]
+    content[h // 4:3 * h // 4, w // 3:w // 2] = [120, 110, 100]
+    content += r.normal(0, 3, content.shape)
+    content = np.clip(content, 0, 255).astype(np.float32)
+    style = np.clip(
+        r.uniform(0, 255, (h, w, 3)) * 0.5 + content[::-1, ::-1] * 0.5,
+        0, 255).astype(np.float32)
+    return content, style
+
+
+def _masks(k, h, w):
+    if k == 1:
+        return np.ones((1, h, w), np.float32)
+    m = np.zeros((k, h, w), np.float32)
+    m[0, : h // 2] = 1.0
+    m[1, h // 2:] = 1.0
+    return m
+
+
+def _loop_rate(cfg, h, w, timed=100):
+    """(it/s, marginal precompute s, one-time setup s) for one config's
+    hot loop at (h, w) — prepare, warm, then one timed scan segment."""
+    import jax.numpy as jnp
+
+    from dpst_tpu import optimize, prepare_constants
+    from dpst_tpu.models import vgg
+
+    content, style = _pair(h, w)
+    k = max(cfg.max_classes, 1)
+    cmask = _masks(k, h, w)
+    smask = cmask.copy()
+    vgg_params = vgg.get_params(seed=0)
+    weights = optimize.LossWeights.from_config(cfg)
+    loop_cfg = cfg.loop_config()
+    opt = optimize.make_optimizer(loop_cfg)
+
+    t_setup0 = time.perf_counter()
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(cmask),
+        jnp.asarray(smask), cfg, vgg_params)
+    np.asarray(consts.coverage)              # completion barrier
+    t_setup = time.perf_counter() - t_setup0
+
+    t_pre0 = time.perf_counter()
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(cmask),
+        jnp.asarray(smask), cfg, vgg_params)
+    np.asarray(consts.coverage)
+    image = optimize.init_image(cfg, jnp.asarray(content))
+    opt_state = optimize.init_opt_state(opt, loop_cfg, image)
+    t_pre = time.perf_counter() - t_pre0
+
+    image, opt_state, hist = optimize.run_segment(     # warm/compile
+        image, opt_state, consts, weights, vgg_params,
+        n_steps=timed, cfg=loop_cfg)
+    np.asarray(hist)
+
+    t0 = time.perf_counter()
+    image, opt_state, hist = optimize.run_segment(
+        image, opt_state, consts, weights, vgg_params,
+        n_steps=timed, cfg=loop_cfg)
+    hist = np.asarray(hist)                  # fetch closes the timing
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(hist)), "non-finite losses in bench"
+    return timed / dt, t_pre, t_setup
+
+
+def _emit(name, metric, value, unit, wall_s, **extra):
+    line = {"metric": metric, "value": round(value, 2), "unit": unit,
+            "vs_baseline": round(30.0 / wall_s, 3) if wall_s else 0.0,
+            "config": name}
+    line.update({k: (round(v, 2) if isinstance(v, float) else v)
+                 for k, v in extra.items()})
+    print(json.dumps(line), flush=True)
+
+
 def main():
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_SECS)
@@ -43,84 +135,79 @@ def main():
     enable_compilation_cache()
 
     import jax
-    import jax.numpy as jnp
 
     import dpst_tpu
-    from dpst_tpu import optimize, prepare_constants
-    from dpst_tpu.models import vgg
 
-    H = W = 512
-    ITERS_TARGET = 500           # the north-star convergence run length
-    TIMED = 100                  # steps in the timed window
+    backend = jax.default_backend()
 
-    r = np.random.default_rng(0)
-    # structured content (smooth regions + edges — realistic Laplacian
-    # sparsity pattern), textured style
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    content = np.stack([
-        120 + 80 * yy / H, 90 + 60 * xx / W, 200 - 120 * yy / H], axis=-1)
-    content[H // 2:, :] = [70, 120, 60]
-    content[H // 4:3 * H // 4, W // 3:W // 2] = [120, 110, 100]
-    content += r.normal(0, 3, content.shape)
-    content = np.clip(content, 0, 255).astype(np.float32)
-    style = np.clip(
-        r.uniform(0, 255, (H, W, 3)) * 0.5 + content[::-1, ::-1] * 0.5,
-        0, 255).astype(np.float32)
+    # --- config 1: 256² content + plain Gram style -----------------------
+    cfg1 = dpst_tpu.StylizeConfig(
+        use_segmentation=False, use_photorealism=False, max_classes=1,
+        iterations=500, compute_dtype="bfloat16")
+    ips, t_pre, _ = _loop_rate(cfg1, 256, 256)
+    _emit("config1", "iters/sec @ 256x256 content+gram (1 chip)",
+          ips, "iters/sec", 500.0 / ips + t_pre, precompute_s=t_pre,
+          backend=backend)
 
-    K = 4
-    cmask = np.zeros((K, H, W), np.float32)
-    cmask[0, : H // 2] = 1.0
-    cmask[1, H // 2:] = 1.0
-    smask = cmask.copy()
+    # --- config 2: 512² masked per-class style (no Laplacian) ------------
+    cfg2 = dpst_tpu.StylizeConfig(
+        use_segmentation=True, use_photorealism=False, max_classes=4,
+        iterations=500, compute_dtype="bfloat16")
+    ips, t_pre, _ = _loop_rate(cfg2, 512, 512)
+    _emit("config2", "iters/sec @ 512x512 masked style (1 chip)",
+          ips, "iters/sec", 500.0 / ips + t_pre, precompute_s=t_pre,
+          backend=backend)
 
-    cfg = dpst_tpu.StylizeConfig(
-        use_segmentation=True, use_photorealism=True, max_classes=K,
-        iterations=ITERS_TARGET, compute_dtype="bfloat16")
-
-    vgg_params = vgg.get_params(seed=0)
-    weights = optimize.LossWeights.from_config(cfg)
-    loop_cfg = cfg.loop_config()
-    opt = optimize.make_optimizer(loop_cfg)
-
-    # one-time per-process setup: params upload + executable (cache) loads
-    t_setup0 = time.perf_counter()
-    consts = prepare_constants(
-        jnp.asarray(content), jnp.asarray(style), jnp.asarray(cmask),
-        jnp.asarray(smask), cfg, vgg_params)
-    np.asarray(consts.coverage)  # completion barrier (see NOTE below)
-    t_setup = time.perf_counter() - t_setup0
-
-    # marginal per-pair precompute (what each additional pair pays)
-    t_pre0 = time.perf_counter()
-    consts = prepare_constants(
-        jnp.asarray(content), jnp.asarray(style), jnp.asarray(cmask),
-        jnp.asarray(smask), cfg, vgg_params)
-    np.asarray(consts.coverage)
-    image = optimize.init_image(cfg, jnp.asarray(content))
-    opt_state = opt.init(image)
-    t_pre = time.perf_counter() - t_pre0
-
-    # warmup: compile the scan'd segment (cached across bench runs).
-    # NOTE: on the axon remote-TPU backend, block_until_ready can return
-    # before results are actually materialized; a host fetch of an output
-    # is the only reliable completion barrier — so every timing below
-    # closes with a small device->host transfer.
-    image, opt_state, hist = optimize.run_segment(
-        image, opt_state, consts, weights, vgg_params,
-        n_steps=TIMED, cfg=loop_cfg)
-    np.asarray(hist)
-
+    # --- config 4: 1024² multi-scale coarse-to-fine -----------------------
+    content, style = _pair(1024, 1024)
+    cfg4 = dpst_tpu.StylizeConfig(
+        use_segmentation=True, use_photorealism=True, max_classes=4,
+        iterations=100, scales=(256, 512, 1024), compute_dtype="bfloat16")
+    cm = _masks(4, 1024, 1024)
+    out = dpst_tpu.stylize(content, style, cfg4, content_masks=cm,
+                           style_masks=cm.copy())          # warm/compile
+    np.asarray(out)
     t0 = time.perf_counter()
-    image, opt_state, hist = optimize.run_segment(
-        image, opt_state, consts, weights, vgg_params,
-        n_steps=TIMED, cfg=loop_cfg)
-    hist = np.asarray(hist)
-    dt = time.perf_counter() - t0
+    out = dpst_tpu.stylize(content, style, cfg4, content_masks=cm,
+                           style_masks=cm.copy())
+    np.asarray(out)
+    dt4 = time.perf_counter() - t0
+    _emit("config4",
+          "wall-clock @ 1024x1024 multi-scale (256-512-1024, 100 it/scale)",
+          dt4, "seconds", dt4, backend=backend)
 
+    # --- config 5: 8-pair batch (B=1-equivalent throughput on 1 chip) ----
+    from dpst_tpu.parallel.batch import stylize_batch
+    B, HB = 8, 512
+    c1, s1 = _pair(HB, HB)
+    contents = np.stack([c1] * B)
+    styles = np.stack([s1] * B)
+    bm = np.broadcast_to(_masks(4, HB, HB), (B, 4, HB, HB)).copy()
+    cfg5 = dpst_tpu.StylizeConfig(
+        use_segmentation=True, use_photorealism=True, max_classes=4,
+        iterations=100, compute_dtype="bfloat16")
+    imgs, hist = stylize_batch(contents, styles, bm, bm, cfg=cfg5)
+    np.asarray(imgs)                                        # warm
+    t0 = time.perf_counter()
+    imgs, hist = stylize_batch(contents, styles, bm, bm, cfg=cfg5)
+    np.asarray(imgs)
+    dt5 = time.perf_counter() - t0
+    pair_ips = B * cfg5.iterations / dt5
+    _emit("config5",
+          "pair-iters/sec @ 512x512 full, 8-pair batch (1 chip)",
+          pair_ips, "pair-iters/sec",
+          500.0 / pair_ips,     # per-pair amortized 500-iter wall-clock
+          note="single-chip B=8; DP scaling is cross-chip "
+               "(parallel/batch.py, virtual-mesh tested)",
+          backend=backend)
+
+    # --- config 3 (headline, LAST): 512² full deep-photo ------------------
+    cfg3 = dpst_tpu.StylizeConfig(
+        use_segmentation=True, use_photorealism=True, max_classes=4,
+        iterations=500, compute_dtype="bfloat16")
+    ips, t_pre, t_setup = _loop_rate(cfg3, 512, 512)
     signal.alarm(0)
-    assert np.all(np.isfinite(hist)), "non-finite losses in bench"
-    ips = TIMED / dt
-    wall_500 = ITERS_TARGET / ips + t_pre
+    wall_500 = 500.0 / ips + t_pre
     print(json.dumps({
         "metric": "iters/sec @ 512x512 full deep-photo (1 chip)",
         "value": round(ips, 2),
@@ -129,8 +216,9 @@ def main():
         "projected_500iter_wall_clock_s": round(wall_500, 2),
         "precompute_s": round(t_pre, 2),
         "one_time_setup_s": round(t_setup, 2),
-        "backend": jax.default_backend(),
-    }))
+        "config": "config3",
+        "backend": backend,
+    }), flush=True)
 
 
 if __name__ == "__main__":
