@@ -63,6 +63,8 @@ class StylizeConfig:
     compute_dtype: str = "bfloat16"      # conv compute dtype on TPU
     # fp32 accumulation is always used (preferred_element_type)
     conv_impl: str = "auto"              # "auto" | "pallas" | "xla"
+    gram_impl: str = "auto"              # masked-Gram kernel backend
+    pool_impl: str = "auto"              # max-pool backward kernel backend
 
     # --- segmentation / masks --------------------------------------------
     use_segmentation: bool = True
@@ -150,6 +152,10 @@ class StylizeConfig:
             raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
         if self.style_norm not in ("gatys", "paper"):
             raise ValueError(f"unknown style_norm {self.style_norm!r}")
+        if self.gram_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown gram_impl {self.gram_impl!r}")
+        if self.pool_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown pool_impl {self.pool_impl!r}")
 
 
 # Named presets matching BASELINE.json configs 1-5.

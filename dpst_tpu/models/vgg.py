@@ -133,25 +133,68 @@ def preprocess(image: jnp.ndarray) -> jnp.ndarray:
     return bgr - jnp.asarray(BGR_MEANS, image.dtype)
 
 
+def _preprocess_noflip(image: jnp.ndarray) -> jnp.ndarray:
+    """Mean subtraction only — the BGR channel flip is folded into
+    conv1_1's weights inside extract_features instead.
+
+    Why: the per-step image flip costs a lane-reversal op in BOTH the
+    forward and the backward pass (~190 µs/step at 512² for the reverse
+    of the image cotangent alone, profiler round 2), while flipping the
+    3×3×3×64 conv1_1 weight's input channels is loop-invariant and
+    hoisted out of the scan by XLA. conv over flipped weights of an
+    unflipped image is exactly conv over the flipped image.
+    """
+    return image - jnp.asarray(BGR_MEANS[::-1], image.dtype)
+
+
 def _upsample2(y: jnp.ndarray) -> jnp.ndarray:
-    """2×2 nearest upsample of (B, h, w, C) -> (B, 2h, 2w, C)."""
+    """2×2 nearest upsample of (B, h, w, C) -> (B, 2h, 2w, C).
+
+    Formulated as a depthwise transposed conv (lhs_dilation=2, 2×2 ones
+    kernel) rather than broadcast+reshape: on TPU the broadcast form
+    materializes outside XLA's conv-emitter layouts and pays two 33 MB
+    relayout copies per pool at 512² (profiler round 2: the pool-bwd
+    cluster cost ~1.0 ms/step); the conv form stays inside the conv
+    emitters end to end (+5 it/s on the full step). precision=HIGHEST
+    keeps the single-term sums exact for fp32 inputs — default TPU fp32
+    convs round through bf16 MXU passes and would corrupt the equality
+    mask in the pool backward (CLAUDE.md rule 6).
+    """
     b, h, w, c = y.shape
-    y = jnp.broadcast_to(y[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return y.reshape(b, 2 * h, 2 * w, c)
+    ones = jnp.ones((2, 2, 1, c), y.dtype)
+    return jax.lax.conv_general_dilated(
+        y, ones, (1, 1), ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            y.shape, ones.shape, _DN),
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=y.dtype)
 
 
-@jax.custom_vjp
-def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+def _downsample2_sum(m: jnp.ndarray) -> jnp.ndarray:
+    """Non-overlapping 2×2 window sums as a strided depthwise conv
+    (same conv-emitter-layout rationale as _upsample2)."""
+    b, h, w, c = m.shape
+    ones = jnp.ones((2, 2, 1, c), m.dtype)
+    return jax.lax.conv_general_dilated(
+        m, ones, (2, 2), "VALID",
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            m.shape, ones.shape, _DN),
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=m.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _maxpool2(x: jnp.ndarray, pool_impl: str = "xla") -> jnp.ndarray:
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def _maxpool2_fwd(x):
-    y = _maxpool2(x)
+def _maxpool2_fwd(x, pool_impl):
+    y = _maxpool2(x, pool_impl)
     return y, (x, y)
 
 
-def _maxpool2_bwd(res, g):
+def _maxpool2_bwd(pool_impl, res, g):
     """Max-pool gradient as pure elementwise math.
 
     XLA's native max-pool transpose lowers to `select_and_scatter`, which
@@ -161,13 +204,21 @@ def _maxpool2_bwd(res, g):
     values shares the gradient — ties get g/n_ties rather than
     first-index-takes-all; total gradient mass is identical and flat
     image regions behave better numerically).
+
+    On TPU at block-1 sizes the whole computation runs as one fused
+    Pallas VPU kernel (ops/pool_pallas.py) — the XLA lowering spends
+    ~1 ms/step at 512² materializing the two 2× upsample broadcasts.
     """
+    from ..ops import pool_pallas
+
     x, y = res
     b, h2, w2, c = y.shape
+    if (b == 1 and pool_pallas.use_pallas(x.shape, pool_impl)
+            and x.shape[1] == 2 * h2 and x.shape[2] == 2 * w2):
+        return (pool_pallas.maxpool2_bwd_pallas(x, y, g),)
     xc = x[:, : 2 * h2, : 2 * w2, :]
     mask = (xc == _upsample2(y)).astype(g.dtype)
-    ties = jax.lax.reduce_window(
-        mask, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    ties = _downsample2_sum(mask)
     gx = mask * _upsample2(g / jnp.maximum(ties, 1.0))
     pad_h = x.shape[1] - 2 * h2
     pad_w = x.shape[2] - 2 * w2
@@ -179,9 +230,9 @@ def _maxpool2_bwd(res, g):
 _maxpool2.defvjp(_maxpool2_fwd, _maxpool2_bwd)
 
 
-def _pool(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+def _pool(x: jnp.ndarray, kind: str, pool_impl: str = "xla") -> jnp.ndarray:
     if kind == "max":
-        return _maxpool2(x)
+        return _maxpool2(x, pool_impl)
     # average pooling (Gatys-style alternative)
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
@@ -189,12 +240,13 @@ def _pool(x: jnp.ndarray, kind: str) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("layers", "pooling", "compute_dtype",
-                                   "conv_impl"))
+                                   "conv_impl", "pool_impl"))
 def extract_features(params: dict, image: jnp.ndarray,
                      layers: tuple[str, ...],
                      pooling: str = "max",
                      compute_dtype: str = "float32",
-                     conv_impl: str = "auto") -> dict:
+                     conv_impl: str = "auto",
+                     pool_impl: str = "auto") -> dict:
     """Run VGG-19 up to the deepest layer in `layers`.
 
     Args:
@@ -212,7 +264,7 @@ def extract_features(params: dict, image: jnp.ndarray,
     if squeeze:
         image = image[None]
     cdt = jnp.dtype(compute_dtype)
-    x = preprocess(image.astype(jnp.float32)).astype(cdt)
+    x = _preprocess_noflip(image.astype(jnp.float32)).astype(cdt)
 
     deepest = max(LAYER_ORDER.index(l) for l in layers)
     taps = {}
@@ -220,18 +272,23 @@ def extract_features(params: dict, image: jnp.ndarray,
         if idx > deepest:
             break
         if name.startswith("pool"):
-            x = _pool(x, pooling)
+            x = _pool(x, pooling, pool_impl)
             continue
         p = params[name]
+        w = p["w"]
+        if name == "conv1_1":
+            # BGR flip folded into the weights (see _preprocess_noflip);
+            # loop-invariant, hoisted out of the optimization scan.
+            w = w[:, :, ::-1, :]
         # Uniform compute dtype end-to-end: the TPU MXU accumulates bf16
         # convs in fp32 internally regardless, and a mixed-dtype conv
         # (bf16 operands, fp32 preferred_element_type) has no transpose
         # rule in JAX — it would break the VJP the optimizer loop needs.
         if _use_pallas_conv(conv_impl, x.shape[2], x.shape[3]):
-            x = _pallas_conv(x, p["w"].astype(cdt))
+            x = _pallas_conv(x, w.astype(cdt))
         else:
             x = jax.lax.conv_general_dilated(
-                x, p["w"].astype(cdt), (1, 1), "SAME",
+                x, w.astype(cdt), (1, 1), "SAME",
                 dimension_numbers=_DN, preferred_element_type=cdt)
         x = x + p["b"].astype(cdt)
         x = jnp.maximum(x, 0.0)

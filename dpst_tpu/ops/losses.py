@@ -98,7 +98,8 @@ def style_layer_loss(feat_out: jnp.ndarray,
                      out_masks: jnp.ndarray,
                      coverage: jnp.ndarray,
                      compute_dtype: str | jnp.dtype = "float32",
-                     style_norm: str = "gatys") -> jnp.ndarray:
+                     style_norm: str = "gatys",
+                     gram_impl: str = "auto") -> jnp.ndarray:
     """Masked Gram style loss for one VGG layer, summed over classes.
 
     feat_out:    (H, W, C) output-image features at this layer.
@@ -131,6 +132,17 @@ def style_layer_loss(feat_out: jnp.ndarray,
         class_w = coverage
         norm = "m2"
 
+    # matrix-free Pallas path at large P (TPU): streams f through VMEM
+    # with on-the-fly m² weighting instead of materializing the (P, K·C)
+    # block — see ops/gram_pallas.py for the measured why
+    from .gram_pallas import masked_grams_pallas, use_pallas
+    if use_pallas(h, w, k, c, gram_impl):
+        g_o = masked_grams_pallas(feat_out, out_masks,
+                                  compute_dtype=compute_dtype, norm=norm)
+        d = g_o - style_grams
+        per_class = jnp.sum(d * d, axis=(1, 2))
+        return scale * jnp.sum(class_w * per_class)
+
     # fused single-matmul path unless the (P, K·C) weighted block would
     # be huge (≳1 GB bf16, e.g. conv1_1 at 1024² with K=8) — then fall
     # back to the memory-light per-class scan. Measured on v5e at 1024²
@@ -160,13 +172,14 @@ def style_layer_loss(feat_out: jnp.ndarray,
 def style_loss(feats_out: dict, style_grams: dict, out_masks: dict,
                coverage: jnp.ndarray, layer_weights: dict,
                compute_dtype: str | jnp.dtype = "float32",
-               style_norm: str = "gatys") -> jnp.ndarray:
+               style_norm: str = "gatys",
+               gram_impl: str = "auto") -> jnp.ndarray:
     """Sum of per-layer masked style losses, weighted per layer."""
     total = jnp.float32(0.0)
     for layer, w in layer_weights.items():
         total = total + w * style_layer_loss(
             feats_out[layer], style_grams[layer], out_masks[layer],
-            coverage, compute_dtype, style_norm)
+            coverage, compute_dtype, style_norm, gram_impl)
     return total
 
 

@@ -68,7 +68,7 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
         feats = vgg.extract_features(
             vgg_params, image, all_layers,
             pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
-            conv_impl=cfg.conv_impl)
+            conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl)
 
         l_content = jnp.float32(0.0)
         for layer in cfg.content_layers:
@@ -78,7 +78,7 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
         l_style = losses.style_loss(
             feats, consts.style_grams, consts.masks, consts.coverage,
             style_lw, compute_dtype=cfg.compute_dtype,
-            style_norm=cfg.style_norm)
+            style_norm=cfg.style_norm, gram_impl=cfg.gram_impl)
 
         if cfg.use_photorealism and consts.lap_stats is not None:
             l_reg = lap.photoreal_loss(

@@ -92,12 +92,14 @@ def stylize_spatial(content, style, content_masks, style_masks,
     same math, different layout.
     """
     cfg = cfg or StylizeConfig()
-    if cfg.laplacian_impl != "xla":
+    if (cfg.laplacian_impl != "xla" or cfg.gram_impl != "xla"
+            or cfg.pool_impl != "xla"):
         # Pallas custom calls don't partition under SPMD — a sharded
         # operand would be silently all-gathered, defeating the row
-        # sharding. The XLA stencil partitions cleanly (halo exchanges).
+        # sharding. The XLA paths partition cleanly (halo exchanges).
         import dataclasses
-        cfg = dataclasses.replace(cfg, laplacian_impl="xla")
+        cfg = dataclasses.replace(cfg, laplacian_impl="xla",
+                                  gram_impl="xla", pool_impl="xla")
     if vgg_params is None:
         from ..models import vgg
         vgg_params = vgg.get_params(seed=cfg.seed)
