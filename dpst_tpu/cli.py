@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16", help="conv/Gram compute dtype")
     g.add_argument("--conv-impl", choices=("auto", "pallas", "xla"),
                    default="auto", help="VGG conv kernel backend")
+    g.add_argument("--gram-impl", choices=("auto", "pallas", "xla"),
+                   default="auto", help="masked-Gram kernel backend")
+    g.add_argument("--pool-impl", choices=("auto", "pallas", "xla"),
+                   default="auto", help="max-pool backward backend")
     g.add_argument("--pooling", choices=("max", "avg"), default="max")
     g.add_argument("--no-compile-cache", action="store_true")
     g.add_argument("--device", type=int, default=None,
@@ -161,7 +165,8 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "laplacian_impl": "laplacian_impl",
             "intermediate_interval": "intermediate_interval",
             "dtype": "compute_dtype", "pooling": "pooling",
-            "conv_impl": "conv_impl",
+            "conv_impl": "conv_impl", "gram_impl": "gram_impl",
+            "pool_impl": "pool_impl",
         }
         for flag, field in flag_to_field.items():
             if was_set(flag):
@@ -206,6 +211,8 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         compute_dtype=args.dtype,
         pooling=args.pooling,
         conv_impl=args.conv_impl,
+        gram_impl=args.gram_impl,
+        pool_impl=args.pool_impl,
     )
 
 
