@@ -251,7 +251,15 @@ def stylize(content, style, config: StylizeConfig | None = None, *,
             callback=callback, checkpointer=stage_ckpt, resume=resume)
         history.append(hist)
 
-    result = np.asarray(jnp.clip(image, 0.0, 255.0))
+    image = jnp.clip(image, 0.0, 255.0)
+    if cfg.post_smooth > 0:
+        # smooth-local-affine photorealism post-process (one dispatch,
+        # after the final scale; content_s is at the output resolution)
+        from .ops.guided_filter import smooth_local_affine
+        image = smooth_local_affine(content_s, image,
+                                    radius=cfg.post_smooth,
+                                    eps=cfg.post_smooth_eps)
+    result = np.asarray(image)
     if return_history:
         return result, np.concatenate([np.asarray(h) for h in history])
     return result

@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--matting-epsilon", type=float, default=1e-5)
     g.add_argument("--laplacian-impl",
                    choices=("auto", "pallas", "xla"), default="auto")
+    g.add_argument("--post-smooth", type=int, default=0, metavar="RADIUS",
+                   help="smooth-local-affine post-process window radius "
+                        "(guided filter; 0 = off)")
+    g.add_argument("--post-smooth-eps", type=float, default=1e-4)
 
     g = p.add_argument_group("auto-tuning (NIMA)")
     g.add_argument("--autotune", action="store_true",
@@ -163,6 +167,8 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "max_classes": "max_classes",
             "matting_epsilon": "matting_epsilon",
             "laplacian_impl": "laplacian_impl",
+            "post_smooth": "post_smooth",
+            "post_smooth_eps": "post_smooth_eps",
             "intermediate_interval": "intermediate_interval",
             "dtype": "compute_dtype", "pooling": "pooling",
             "conv_impl": "conv_impl", "gram_impl": "gram_impl",
@@ -204,6 +210,8 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         use_photorealism=not args.no_photorealism,
         matting_epsilon=args.matting_epsilon,
         laplacian_impl=args.laplacian_impl,
+        post_smooth=args.post_smooth,
+        post_smooth_eps=args.post_smooth_eps,
         intermediate_interval=args.intermediate_interval,
         checkpoint_dir=args.checkpoint_dir or "",
         profile_dir=args.profile_dir or "",

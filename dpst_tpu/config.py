@@ -80,6 +80,13 @@ class StylizeConfig:
     matting_epsilon: float = 1e-5        # ε in Levin's closed-form matting
     laplacian_impl: str = "auto"         # "auto" | "pallas" | "xla"
 
+    # --- post-processing ---------------------------------------------------
+    # Smooth-local-affine photorealism post-process (the DPST lineage's
+    # optional CUDA smooth_local_affine, as a TPU guided filter —
+    # ops/guided_filter.py). 0 disables; >0 is the window radius.
+    post_smooth: int = 0
+    post_smooth_eps: float = 1e-4
+
     # --- checkpointing / observability ------------------------------------
     intermediate_interval: int = 100     # save every k iters (0 = off)
     checkpoint_dir: str = ""             # orbax checkpoints; "" = disabled
@@ -107,6 +114,7 @@ class StylizeConfig:
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             mask_downsample="avg", matting_epsilon=0.0,
+            post_smooth=0, post_smooth_eps=0.0,
             intermediate_interval=0, checkpoint_dir="", profile_dir="",
             debug_nans=False)
 
@@ -132,6 +140,7 @@ class StylizeConfig:
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             laplacian_impl="auto",
+            post_smooth=0, post_smooth_eps=0.0,
             intermediate_interval=0, checkpoint_dir="", profile_dir="",
             debug_nans=False)
 
