@@ -201,3 +201,81 @@ def test_assets_status():
                        "similarity_matrix"}
     for info in st.values():
         assert "path" in info and "available" in info
+
+
+def test_make_similarity_matrix(tmp_path):
+    """Embedding-asset builder: GloVe-text vectors -> valid 150x150
+    matrix the semantic_merge loader accepts; related labels score
+    high, labels with no known tokens stay isolated."""
+    import numpy as np
+    from dpst_tpu import semantic_merge as sm
+
+    # tiny synthetic vector file: water-ish words cluster, tree apart
+    rng = np.random.default_rng(0)
+    base_water = rng.normal(size=8)
+    vecs = {
+        "water": base_water + rng.normal(0, 0.05, 8),
+        "sea": base_water + rng.normal(0, 0.05, 8),
+        "river": base_water + rng.normal(0, 0.05, 8),
+        "tree": rng.normal(size=8),
+        "sky": rng.normal(size=8),
+    }
+    src = tmp_path / "vectors.txt"
+    with open(src, "w") as f:
+        for tok, v in vecs.items():
+            f.write(tok + " " + " ".join(f"{x:.6f}" for x in v) + "\n")
+    dst = str(tmp_path / "similarity_matrix.npz")
+    res = _run("make_similarity_matrix.py", str(src), dst)
+    assert res.returncode == 0, res.stderr[-1500:]
+
+    sim = np.load(dst)["similarity"]
+    assert sim.shape == (150, 150)
+    np.testing.assert_allclose(sim, sim.T, atol=1e-6)
+    names = [lbl.split("|")[0] for lbl in sm.ADE20K_LABELS]
+    i_water, i_sea, i_tree = (names.index("water"), names.index("sea"),
+                              names.index("tree"))
+    assert sim[i_water, i_sea] > 0.9          # embedded cluster
+    assert sim[i_water, i_tree] < sim[i_water, i_sea]
+    i_wall = names.index("wall")              # no vector in the file
+    assert sim[i_wall, i_water] == 0.0 and sim[i_wall, i_wall] == 1.0
+
+    # the loader accepts it end to end
+    os.environ["DPST_SIMILARITY_MATRIX"] = dst
+    try:
+        s = sm.similarity_matrix("embedding")
+        assert s.shape == (150, 150)
+    finally:
+        del os.environ["DPST_SIMILARITY_MATRIX"]
+
+
+def test_verify_bundle_tool(tmp_path):
+    """verify_bundle passes converted synthetic checkpoints and fails
+    structurally-broken bundles."""
+    from reference_layouts import keras_nima_arrays, write_keras_h5
+
+    # valid NIMA bundle via the real converter path
+    h5 = str(tmp_path / "mobilenet_weights.h5")
+    npz = str(tmp_path / "nima.npz")
+    write_keras_h5(h5, keras_nima_arrays(seed=4))
+    assert _run("convert_nima.py", h5, npz).returncode == 0
+    res = _run("verify_bundle.py", "nima", npz)
+    assert res.returncode == 0, res.stdout + res.stderr[-800:]
+    assert "OK" in res.stdout
+
+    # corrupt it: wrong head shape
+    data = dict(np.load(npz))
+    data["head_w"] = data["head_w"][:512]
+    bad = str(tmp_path / "bad.npz")
+    np.savez(bad, **data)
+    res = _run("verify_bundle.py", "nima", bad)
+    assert res.returncode == 1
+    assert "FAIL" in res.stdout
+
+    # vgg: converted synthetic torchvision checkpoint passes
+    state = _synth_vgg_state(seed=6)
+    src = str(tmp_path / "vgg19.pth")
+    vnpz = str(tmp_path / "vgg19.npz")
+    torch.save(state, src)
+    assert _run("convert_vgg.py", src, vnpz).returncode == 0
+    res = _run("verify_bundle.py", "vgg19", vnpz)
+    assert res.returncode == 0, res.stdout + res.stderr[-800:]
