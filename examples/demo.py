@@ -13,7 +13,9 @@ Outputs land in ./demo_out. With bundled weights absent (see
 `python -m dpst_tpu.utils.assets`), models run with deterministic random
 init — the mechanics are identical, the semantics arrive with weights.
 
-Run:  PYTHONPATH=. python examples/demo.py [--size 256] [--iters 200]
+Run:  python examples/demo.py [--size 256] [--iters 200]
+(no PYTHONPATH needed — and PYTHONPATH=. alone would clobber the axon
+site path the TPU backend needs; the script inserts the repo itself)
 """
 from __future__ import annotations
 
@@ -83,6 +85,13 @@ def main() -> int:
     print(f"[1] full pipeline: {time.time() - t0:.1f}s; loss "
           f"{hist[0, 0]:.3g} -> {hist[-1, 0]:.3g} "
           f"-> {args.out}/stylized.png")
+
+    # 1b. smooth-local-affine photorealism post-process (guided filter)
+    cfg_sm = dpst_tpu.StylizeConfig(iterations=args.iters, max_classes=4,
+                                    post_smooth=2)
+    out_sm = dpst_tpu.stylize(content, style, cfg_sm)
+    io.save_image(out_sm, f"{args.out}/stylized_smooth.png")
+    print(f"[1b] + post-smooth -> {args.out}/stylized_smooth.png")
 
     # 2. multi-scale
     cfg_ms = dpst_tpu.StylizeConfig(
