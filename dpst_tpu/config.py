@@ -157,13 +157,13 @@ class StylizeConfig:
             raise ValueError(f"unknown pooling {self.pooling!r}")
         if self.laplacian_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown laplacian_impl {self.laplacian_impl!r}")
-        if self.conv_impl not in ("auto", "pallas", "xla"):
+        if self.conv_impl not in ("auto", "pallas", "xla", "flipvjp"):
             raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
         if self.style_norm not in ("gatys", "paper"):
             raise ValueError(f"unknown style_norm {self.style_norm!r}")
-        if self.gram_impl not in ("auto", "pallas", "xla"):
+        if self.gram_impl not in ("auto", "pallas", "xla", "dotg"):
             raise ValueError(f"unknown gram_impl {self.gram_impl!r}")
-        if self.pool_impl not in ("auto", "pallas", "xla"):
+        if self.pool_impl not in ("auto", "pallas", "xla", "noties"):
             raise ValueError(f"unknown pool_impl {self.pool_impl!r}")
 
 

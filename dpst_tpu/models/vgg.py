@@ -75,6 +75,44 @@ def _pallas_conv_bwd(w, g):
 _pallas_conv.defvjp(_pallas_conv_fwd, _pallas_conv_bwd)
 
 
+def _conv_raw(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=_DN,
+        preferred_element_type=x.dtype)
+
+
+@jax.custom_vjp
+def _conv_flipvjp(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """XLA SAME 3×3 conv whose backward is ALSO a forward-form conv.
+
+    Autodiff of `conv_general_dilated` emits a transposed-conv HLO for the
+    input gradient; XLA's transposed-conv emitter measured ~32% MXU vs the
+    forward emitter's ~50% at 512² (ARCHITECTURE.md round-2 profile). For a
+    stride-1 SAME odd-kernel conv the input gradient is EXACTLY the same
+    conv with spatially flipped, in/out-transposed weights, so routing the
+    backward through the forward emitter is mathematically exact (weights
+    are optimization constants — their cotangent is zero and DCE'd).
+
+    Measured (tools/perf_lab.py, 512² full step, v5e): 114.8 vs 114.6 it/s
+    — NEUTRAL. XLA already canonicalizes the transposed conv to this form;
+    the bwd emitter's lower MXU% is inherent to the grad-chain's fused
+    elementwise consumers, not the conv HLO. Kept opt-in for A/B use.
+    """
+    return _conv_raw(x, w)
+
+
+def _conv_flipvjp_fwd(x, w):
+    return _conv_raw(x, w), w
+
+
+def _conv_flipvjp_bwd(w, g):
+    gw = w[::-1, ::-1].transpose(0, 1, 3, 2)   # (3,3,Cout,Cin), flipped
+    return _conv_raw(g, gw), jnp.zeros_like(w)
+
+
+_conv_flipvjp.defvjp(_conv_flipvjp_fwd, _conv_flipvjp_bwd)
+
+
 def _use_pallas_conv(conv_impl: str, width: int, cin: int) -> bool:
     """"auto" resolves to XLA: the Pallas tap-matmul conv is validated
     and available (`conv_impl="pallas"`), but measured SLOWER in the full
@@ -218,8 +256,18 @@ def _maxpool2_bwd(pool_impl, res, g):
         return (pool_pallas.maxpool2_bwd_pallas(x, y, g),)
     xc = x[:, : 2 * h2, : 2 * w2, :]
     mask = (xc == _upsample2(y)).astype(g.dtype)
-    ties = _downsample2_sum(mask)
-    gx = mask * _upsample2(g / jnp.maximum(ties, 1.0))
+    if pool_impl == "noties":
+        # every tied max position receives the FULL cotangent (TF/XLA's
+        # select_and_scatter instead picks the first tie; equal-split is
+        # this repo's default) — drops the tie-count conv + divide on the
+        # largest activation tensors; any of the three is a valid
+        # subgradient of the max. Measured SLOWER despite fewer ops
+        # (109.5 vs 114.6 it/s, tools/perf_lab.py): removing the conv
+        # perturbs XLA's fusion/layout choices for the worse — opt-in.
+        gx = mask * _upsample2(g)
+    else:
+        ties = _downsample2_sum(mask)
+        gx = mask * _upsample2(g / jnp.maximum(ties, 1.0))
     pad_h = x.shape[1] - 2 * h2
     pad_w = x.shape[2] - 2 * w2
     if pad_h or pad_w:  # odd trailing row/col never entered the pool
@@ -286,6 +334,8 @@ def extract_features(params: dict, image: jnp.ndarray,
         # rule in JAX — it would break the VJP the optimizer loop needs.
         if _use_pallas_conv(conv_impl, x.shape[2], x.shape[3]):
             x = _pallas_conv(x, w.astype(cdt))
+        elif conv_impl == "flipvjp":
+            x = _conv_flipvjp(x, w.astype(cdt))
         else:
             x = jax.lax.conv_general_dilated(
                 x, w.astype(cdt), (1, 1), "SAME",

@@ -93,6 +93,40 @@ def masked_grams_fused(feat: jnp.ndarray, masks: jnp.ndarray,
     return g / jnp.maximum(n, eps)[:, None, None]
 
 
+def masked_grams_fused_nhwc(feat: jnp.ndarray, masks: jnp.ndarray,
+                            eps: float = 1e-8,
+                            compute_dtype: str | jnp.dtype = "float32",
+                            norm: str = "m2") -> jnp.ndarray:
+    """masked_grams_fused without the (P, C) reshape: contracts the (H, W)
+    dims of the NHWC tap directly via `dot_general`.
+
+    Same math as masked_grams_fused; the point is layout — the explicit
+    reshape to (P, K·C) forces the tap out of XLA's conv-emitter layout
+    before the matmul, while a dot whose contracting dims are the spatial
+    dims leaves the relayout decision to the dot emitter (gram_impl="dotg"
+    experiment; see ARCHITECTURE.md layout-tax discussion).
+
+    Measured (tools/perf_lab.py, 512² full step, v5e): 109.8 vs
+    114.6 it/s — the dot emitter's own handling of the 3-D operands costs
+    more than the explicit reshape. Opt-in.
+    """
+    h, w, c = feat.shape
+    k = masks.shape[0]
+    cdt = jnp.dtype(compute_dtype)
+    f = feat.astype(cdt)                                       # (H, W, C)
+    m2 = (masks * masks).astype(cdt).transpose(1, 2, 0)        # (H, W, K)
+    fw = f[:, :, None, :] * m2[:, :, :, None]                  # (H, W, K, C)
+    g = jax.lax.dot_general(
+        f, fw.reshape(h, w, k * c),
+        dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (C, K·C)
+    g = g.reshape(c, k, c).transpose(1, 0, 2)                  # (K, C, C)
+    masks32 = masks.astype(jnp.float32)
+    n = (jnp.sum(masks32 ** 2, axis=(1, 2)) if norm == "m2"
+         else jnp.sum(masks32, axis=(1, 2)))
+    return g / jnp.maximum(n, eps)[:, None, None]
+
+
 def style_layer_loss(feat_out: jnp.ndarray,
                      style_grams: jnp.ndarray,
                      out_masks: jnp.ndarray,
@@ -139,6 +173,14 @@ def style_layer_loss(feat_out: jnp.ndarray,
     if use_pallas(h, w, k, c, gram_impl):
         g_o = masked_grams_pallas(feat_out, out_masks,
                                   compute_dtype=compute_dtype, norm=norm)
+        d = g_o - style_grams
+        per_class = jnp.sum(d * d, axis=(1, 2))
+        return scale * jnp.sum(class_w * per_class)
+
+    if gram_impl == "dotg":
+        g_o = masked_grams_fused_nhwc(feat_out, out_masks,
+                                      compute_dtype=compute_dtype,
+                                      norm=norm)
         d = g_o - style_grams
         per_class = jnp.sum(d * d, axis=(1, 2))
         return scale * jnp.sum(class_w * per_class)

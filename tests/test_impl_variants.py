@@ -1,0 +1,81 @@
+"""Full-loss value+gradient parity of the perf impl switches.
+
+Each (conv_impl/pool_impl/gram_impl) variant reroutes part of the hot
+loop through a different lowering of the SAME math (see tools/perf_lab.py
+and ARCHITECTURE.md's layout-tax notes):
+  * conv_impl="flipvjp" — conv backward as a forward-form conv with
+    spatially flipped, in/out-transposed weights (exact for stride-1
+    SAME 3×3);
+  * pool_impl="noties"  — max-pool backward giving every tied position
+    the full cotangent (differs from the equal-split default ONLY on
+    exact float ties, which continuous random inputs never produce);
+  * gram_impl="dotg"    — masked Grams via a dot_general contracting the
+    (H, W) dims of the NHWC tap directly (no (P, K·C) reshape).
+
+On CPU fp32 all three must reproduce the default path's loss value and
+image gradient to float roundoff.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dpst_tpu
+from dpst_tpu import optimize, prepare_constants
+from dpst_tpu.models import vgg
+
+BASE = dict(use_segmentation=True, use_photorealism=True, max_classes=2,
+            compute_dtype="float32")
+
+
+def _pair():
+    r = np.random.default_rng(7)
+    content = r.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+    masks = np.zeros((2, 64, 64), np.float32)
+    masks[0, :32] = 1.0
+    masks[1, 32:] = 1.0
+    return content, style, masks
+
+
+def _val_grad(params, content, style, masks, **kw):
+    cfg = dpst_tpu.StylizeConfig(**BASE, **kw)
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(masks),
+        jnp.asarray(masks), cfg, params)
+    w = optimize.LossWeights.from_config(cfg)
+    loss_fn = optimize.make_loss_fn(cfg.loop_config())
+    (v, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+        jnp.asarray(content) + 3.0, consts, w, params)
+    return np.asarray(v), np.asarray(g)
+
+
+@pytest.mark.parametrize("kw", [
+    {"conv_impl": "flipvjp"},
+    {"pool_impl": "noties"},
+    {"gram_impl": "dotg"},
+    {"conv_impl": "flipvjp", "pool_impl": "noties", "gram_impl": "dotg"},
+], ids=lambda kw: "+".join(kw.values()))
+def test_variant_matches_default(kw):
+    content, style, masks = _pair()
+    params = vgg.get_params(seed=0)
+    v0, g0 = _val_grad(params, content, style, masks)
+    v1, g1 = _val_grad(params, content, style, masks, **kw)
+    assert np.isfinite(v1)
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    scale = np.max(np.abs(g0))
+    np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
+
+
+def test_noties_differs_only_on_ties():
+    # A constructed tie: a flat 2×2 window shares the max; "noties" gives
+    # each tied position the full cotangent, the default splits it.
+    x = jnp.ones((1, 2, 2, 1), jnp.float32)
+
+    def pooled_sum(x, impl):
+        return jnp.sum(vgg._maxpool2(x, impl))
+
+    g_split = jax.grad(pooled_sum)(x, "xla")
+    g_full = jax.grad(pooled_sum)(x, "noties")
+    np.testing.assert_allclose(np.asarray(g_split), 0.25 * np.ones((1, 2, 2, 1)))
+    np.testing.assert_allclose(np.asarray(g_full), np.ones((1, 2, 2, 1)))
