@@ -102,12 +102,21 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--debug-nans", action="store_true")
     g.add_argument("--dtype", choices=("bfloat16", "float32"),
                    default="bfloat16", help="conv/Gram compute dtype")
-    g.add_argument("--conv-impl", choices=("auto", "pallas", "xla"),
+    g.add_argument("--conv-impl",
+                   choices=("auto", "pallas", "xla", "flipvjp"),
                    default="auto", help="VGG conv kernel backend")
-    g.add_argument("--gram-impl", choices=("auto", "pallas", "xla"),
+    g.add_argument("--gram-impl",
+                   choices=("auto", "pallas", "xla", "dotg"),
                    default="auto", help="masked-Gram kernel backend")
-    g.add_argument("--pool-impl", choices=("auto", "pallas", "xla"),
+    g.add_argument("--pool-impl",
+                   choices=("auto", "pallas", "xla", "noties", "postact"),
                    default="auto", help="max-pool backward backend")
+    g.add_argument("--remat",
+                   choices=("none", "full", "block1", "block12"),
+                   default="none",
+                   help="rematerialize (all | block-1 | block-1+2) VGG "
+                        "activations in the backward instead of storing "
+                        "them")
     g.add_argument("--pooling", choices=("max", "avg"), default="max")
     g.add_argument("--no-compile-cache", action="store_true")
     g.add_argument("--device", type=int, default=None,
@@ -172,7 +181,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "intermediate_interval": "intermediate_interval",
             "dtype": "compute_dtype", "pooling": "pooling",
             "conv_impl": "conv_impl", "gram_impl": "gram_impl",
-            "pool_impl": "pool_impl",
+            "pool_impl": "pool_impl", "remat": "remat",
         }
         for flag, field in flag_to_field.items():
             if was_set(flag):
@@ -221,6 +230,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         conv_impl=args.conv_impl,
         gram_impl=args.gram_impl,
         pool_impl=args.pool_impl,
+        remat=args.remat,
     )
 
 

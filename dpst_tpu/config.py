@@ -64,7 +64,15 @@ class StylizeConfig:
     # fp32 accumulation is always used (preferred_element_type)
     conv_impl: str = "auto"              # "auto" | "pallas" | "xla"
     gram_impl: str = "auto"              # masked-Gram kernel backend
-    pool_impl: str = "auto"              # max-pool backward kernel backend
+    # max-pool lowering: "auto"/"postact" = deferred bias+ReLU past the
+    # pool (bit-equivalent, measured faster); "xla" = classic pre-pool
+    # epilogue; "pallas" = fused bwd kernel; "noties" = full-tie bwd
+    pool_impl: str = "auto"
+    # "none" | "full" | "block1" | "block12": jax.checkpoint the loss —
+    # the backward recomputes (all | block-1 | block-1+2) VGG activations
+    # instead of storing residuals (trades MXU FLOPs for the HBM-bound
+    # layout copies around batch-1 convs)
+    remat: str = "none"
 
     # --- segmentation / masks --------------------------------------------
     use_segmentation: bool = True
@@ -137,6 +145,7 @@ class StylizeConfig:
             clip_pixels=True, seed=0,
             scales=(), scale_iter_factor=1.0,
             style_layer_weights=(1.0,) * len(self.style_layers),
+            remat="none",
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             laplacian_impl="auto",
@@ -163,8 +172,11 @@ class StylizeConfig:
             raise ValueError(f"unknown style_norm {self.style_norm!r}")
         if self.gram_impl not in ("auto", "pallas", "xla", "dotg"):
             raise ValueError(f"unknown gram_impl {self.gram_impl!r}")
-        if self.pool_impl not in ("auto", "pallas", "xla", "noties"):
+        if self.pool_impl not in ("auto", "pallas", "xla", "noties",
+                                  "postact"):
             raise ValueError(f"unknown pool_impl {self.pool_impl!r}")
+        if self.remat not in ("none", "full", "block1", "block12"):
+            raise ValueError(f"unknown remat {self.remat!r}")
 
 
 # Named presets matching BASELINE.json configs 1-5.

@@ -24,6 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 # VGG-19 convolutional topology: block -> (num convs, out channels).
 VGG19_BLOCKS = ((2, 64), (2, 128), (4, 256), (4, 512), (4, 512))
@@ -316,11 +317,23 @@ def extract_features(params: dict, image: jnp.ndarray,
 
     deepest = max(LAYER_ORDER.index(l) for l in layers)
     taps = {}
+    pending_bias = None
     for idx, name in enumerate(LAYER_ORDER):
         if idx > deepest:
             break
         if name.startswith("pool"):
             x = _pool(x, pooling, pool_impl)
+            if pending_bias is not None:
+                # deferred epilogue (pool_impl="postact"): per-channel
+                # bias is constant within a window and ReLU is monotone,
+                # so maxpool(relu(z+b)) == relu(maxpool(z)+b) BIT-exactly
+                # (the max selects the same element either way); running
+                # bias+ReLU after the pool does the elementwise work at
+                # quarter resolution and lets the pool consume the raw
+                # conv output with no elementwise island in between
+                x = jnp.maximum(x + pending_bias, 0.0)
+                pending_bias = None
+            x = checkpoint_name(x, f"vgg_block{name[4]}")
             continue
         p = params[name]
         w = p["w"]
@@ -340,8 +353,23 @@ def extract_features(params: dict, image: jnp.ndarray,
             x = jax.lax.conv_general_dilated(
                 x, w.astype(cdt), (1, 1), "SAME",
                 dimension_numbers=_DN, preferred_element_type=cdt)
+        # "auto" resolves to the postact structure: measured 121.6 vs
+        # 114.6 it/s on the 512² full step (tools/perf_lab.py) and
+        # bit-equivalent — the per-channel bias preserves each window's
+        # argmax and tie pattern, so outputs AND gradients are unchanged.
+        # "xla"/"pallas"/"noties" keep the classic pre-pool epilogue.
+        if (pool_impl in ("auto", "postact") and pooling == "max"
+                and name not in layers and idx + 1 <= deepest
+                and LAYER_ORDER[idx + 1].startswith("pool")):
+            pending_bias = p["b"].astype(cdt)   # applied after the pool
+            continue
         x = x + p["b"].astype(cdt)
         x = jnp.maximum(x, 0.0)
+        # remat tag: under cfg.remat="blockN" policies these activations
+        # are NOT saved as autodiff residuals — the backward recomputes
+        # them — which drops the HBM-bound layout copies of the largest
+        # (block-1/2) tensors (see optimize.make_loss_fn / perf_lab)
+        x = checkpoint_name(x, f"vgg_block{name[4]}")
         if name in layers:
             # taps stay in the compute dtype: the style loss immediately
             # re-casts to it for the Gram matmuls, so fp32 taps would be

@@ -93,6 +93,21 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
         terms = jnp.stack([total, l_content, l_style, l_reg, l_tv])
         return total, terms
 
+    if cfg.remat == "full":
+        # backward recomputes the whole forward (no stored residuals) —
+        # targets the HBM-bound layout copies around the batch-1 convs
+        loss_fn = jax.checkpoint(loss_fn)
+    elif cfg.remat in ("block1", "block12"):
+        # selective: recompute ONLY the cheapest-to-recompute, most
+        # copy-expensive activations (the 33 MB block-1 / 17 MB block-2
+        # tensors tagged via checkpoint_name in vgg.extract_features);
+        # everything else keeps normal residual saving
+        names = (("vgg_block1",) if cfg.remat == "block1"
+                 else ("vgg_block1", "vgg_block2"))
+        loss_fn = jax.checkpoint(
+            loss_fn,
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                *names))
     return loss_fn
 
 

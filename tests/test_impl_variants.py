@@ -54,6 +54,11 @@ def _val_grad(params, content, style, masks, **kw):
     {"conv_impl": "flipvjp"},
     {"pool_impl": "noties"},
     {"gram_impl": "dotg"},
+    {"remat": "full"},
+    {"remat": "block1"},
+    {"remat": "block12"},
+    {"pool_impl": "postact"},
+    {"pool_impl": "xla"},
     {"conv_impl": "flipvjp", "pool_impl": "noties", "gram_impl": "dotg"},
 ], ids=lambda kw: "+".join(kw.values()))
 def test_variant_matches_default(kw):

@@ -20,7 +20,33 @@ VARIANTS = {
     "flipvjp+noties": {"conv_impl": "flipvjp", "pool_impl": "noties"},
     "all": {"conv_impl": "flipvjp", "pool_impl": "noties",
             "gram_impl": "dotg"},
+    "remat": {"remat": "full"},
+    "remat+noties": {"remat": "full", "pool_impl": "noties"},
+    "remat-block1": {"remat": "block1"},
+    "remat-block12": {"remat": "block12"},
+    "postact": {"pool_impl": "postact"},
 }
+
+# XLA compiler-option variants: the axon remote-compile service accepts
+# the FULL libtpu DebugOptions set via jit(compiler_options=...) even
+# though local XLA_FLAGS parsing only knows the OSS subset (probed: a
+# bogus option 500s, xla_tpu_scoped_vmem_limit_kib compiles).
+XLA_VARIANTS = {
+    "vmem32": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem96": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    "lhs": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+}
+
+
+def _with_compiler_options(opts):
+    """Re-jit optimize.run_segment with extra XLA compiler options."""
+    import jax
+
+    from dpst_tpu import optimize
+    raw = optimize.run_segment.__wrapped__
+    return jax.jit(raw, static_argnames=("n_steps", "cfg"),
+                   compiler_options=opts)
 
 
 def main(argv):
@@ -30,14 +56,27 @@ def main(argv):
     import dpst_tpu
     from bench import _loop_rate
 
+    from dpst_tpu import optimize
+    orig_run_segment = optimize.run_segment
     for name in names:
-        kw = VARIANTS[name]
+        if name in XLA_VARIANTS:
+            optimize.run_segment = _with_compiler_options(XLA_VARIANTS[name])
+            kw = {}
+        else:
+            optimize.run_segment = orig_run_segment
+            kw = VARIANTS[name]
         cfg = dpst_tpu.StylizeConfig(
             use_segmentation=True, use_photorealism=True, max_classes=4,
             iterations=500, compute_dtype="bfloat16", **kw)
-        ips, t_pre, _ = _loop_rate(cfg, 512, 512)
+        try:
+            ips, t_pre, _ = _loop_rate(cfg, 512, 512)
+        except Exception as e:  # an unknown/rejected option shouldn't end the sweep
+            print(json.dumps({"variant": name, "error": str(e)[:200]}),
+                  flush=True)
+            continue
         print(json.dumps({"variant": name, "ips": round(ips, 2),
                           "precompute_s": round(t_pre, 2)}), flush=True)
+    optimize.run_segment = orig_run_segment
 
 
 if __name__ == "__main__":
