@@ -63,7 +63,10 @@ class StylizeConfig:
     compute_dtype: str = "bfloat16"      # conv compute dtype on TPU
     # fp32 accumulation is always used (preferred_element_type)
     conv_impl: str = "auto"              # "auto" | "pallas" | "xla"
-    gram_impl: str = "auto"              # masked-Gram kernel backend
+    # masked-Gram backend: "auto" = streamed Pallas kernel on TPU at
+    # large P (gram_stream.py), XLA fused matmul elsewhere; "stream" /
+    # "pallas" / "dotg" / "xla" force a specific lowering
+    gram_impl: str = "auto"
     # max-pool lowering: "auto"/"postact" = deferred bias+ReLU past the
     # pool (bit-equivalent, measured faster); "xla" = classic pre-pool
     # epilogue; "pallas" = fused bwd kernel; "noties" = full-tie bwd
@@ -86,7 +89,10 @@ class StylizeConfig:
     # --- matting Laplacian (photorealism) ---------------------------------
     use_photorealism: bool = True
     matting_epsilon: float = 1e-5        # ε in Levin's closed-form matting
-    laplacian_impl: str = "auto"         # "auto" | "pallas" | "xla"
+    # "auto" (Pallas kernel on TPU, XLA elsewhere) | "pallas" | "xla" |
+    # "spmd" (row-sharded shard_map + halo exchange around the Pallas
+    # kernel — ops/laplacian_spmd.py; requires an ambient mesh)
+    laplacian_impl: str = "auto"
 
     # --- post-processing ---------------------------------------------------
     # Smooth-local-affine photorealism post-process (the DPST lineage's
@@ -126,6 +132,32 @@ class StylizeConfig:
             intermediate_interval=0, checkpoint_dir="", profile_dir="",
             debug_nans=False)
 
+    def spmd_safe(self) -> "StylizeConfig":
+        """Resolve impl switches to SPMD-partitionable lowerings.
+
+        Pallas custom calls don't partition under XLA's automatic SPMD —
+        a sharded operand would be silently all-gathered. On a sharded
+        mesh the multi-device entry points (`parallel/spatial.py`,
+        `parallel/batch.py`) therefore canonicalize:
+          * laplacian "pallas" → "spmd" (shard_map + halo exchange keeps
+            the kernel — ops/laplacian_spmd.py); "auto" → "xla" (the XLA
+            stencil, which XLA partitions with its own halo exchanges);
+          * gram "stream"/"pallas"/"auto" → "xla" (fused wide matmul —
+            partitions as a plain dot);
+          * pool "pallas" → "xla".
+        Everything else ("postact", "noties", "dotg", "flipvjp", …) is
+        ordinary XLA HLO and partitions as-is — in particular the
+        measured-fastest postact pool structure survives sharding.
+        """
+        return dataclasses.replace(
+            self,
+            laplacian_impl={"pallas": "spmd", "auto": "xla"}.get(
+                self.laplacian_impl, self.laplacian_impl),
+            gram_impl={"stream": "xla", "pallas": "xla", "auto": "xla"}.get(
+                self.gram_impl, self.gram_impl),
+            pool_impl={"pallas": "xla"}.get(self.pool_impl, self.pool_impl),
+        )
+
     def prepare_config(self) -> "StylizeConfig":
         """Canonical sub-config for the per-pair precompute's jit key.
 
@@ -164,13 +196,14 @@ class StylizeConfig:
             raise ValueError(f"unknown init_mode {self.init_mode!r}")
         if self.pooling not in ("max", "avg"):
             raise ValueError(f"unknown pooling {self.pooling!r}")
-        if self.laplacian_impl not in ("auto", "pallas", "xla"):
+        if self.laplacian_impl not in ("auto", "pallas", "xla", "spmd"):
             raise ValueError(f"unknown laplacian_impl {self.laplacian_impl!r}")
         if self.conv_impl not in ("auto", "pallas", "xla", "flipvjp"):
             raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
         if self.style_norm not in ("gatys", "paper"):
             raise ValueError(f"unknown style_norm {self.style_norm!r}")
-        if self.gram_impl not in ("auto", "pallas", "xla", "dotg"):
+        if self.gram_impl not in ("auto", "pallas", "xla", "dotg",
+                                  "stream"):
             raise ValueError(f"unknown gram_impl {self.gram_impl!r}")
         if self.pool_impl not in ("auto", "pallas", "xla", "noties",
                                   "postact"):

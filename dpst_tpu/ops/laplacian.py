@@ -169,6 +169,11 @@ def matvec(stats: LaplacianStats, v: jnp.ndarray,
         return matvec_pallas(stats, v)
     if impl == "auto":
         return matvec_xla(stats, v)
+    if impl == "spmd":
+        # row-sharded multi-device path: shard_map + halo exchange keeps
+        # the Pallas kernel usable under SPMD (laplacian_spmd.py)
+        from .laplacian_spmd import matvec_spmd
+        return matvec_spmd(stats, v)
     raise ValueError(f"unknown laplacian impl {impl!r}")
 
 

@@ -166,9 +166,19 @@ def style_layer_loss(feat_out: jnp.ndarray,
         class_w = coverage
         norm = "m2"
 
-    # matrix-free Pallas path at large P (TPU): streams f through VMEM
-    # with on-the-fly m² weighting instead of materializing the (P, K·C)
-    # block — see ops/gram_pallas.py for the measured why
+    # streamed Pallas path (gram_stream.py): the (P, K·C) weighted block
+    # never leaves VMEM and every contraction is a standard (M,K)×(K,N)
+    # band dot — "auto" resolves to it on TPU at large P
+    from .gram_stream import masked_grams_stream, use_stream
+    if use_stream(h, w, k, c, gram_impl):
+        g_o = masked_grams_stream(feat_out, out_masks,
+                                  compute_dtype=compute_dtype, norm=norm)
+        d = g_o - style_grams
+        per_class = jnp.sum(d * d, axis=(1, 2))
+        return scale * jnp.sum(class_w * per_class)
+
+    # first-generation streaming kernel (dim-0 contraction; opt-in
+    # baseline — see ops/gram_pallas.py for why it lost)
     from .gram_pallas import masked_grams_pallas, use_pallas
     if use_pallas(h, w, k, c, gram_impl):
         g_o = masked_grams_pallas(feat_out, out_masks,

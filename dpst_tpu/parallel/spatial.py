@@ -91,15 +91,12 @@ def stylize_spatial(content, style, content_masks, style_masks,
     the mesh size. Returns (image, history) exactly like optimize.run —
     same math, different layout.
     """
-    cfg = cfg or StylizeConfig()
-    if (cfg.laplacian_impl != "xla" or cfg.gram_impl != "xla"
-            or cfg.pool_impl != "xla"):
-        # Pallas custom calls don't partition under SPMD — a sharded
-        # operand would be silently all-gathered, defeating the row
-        # sharding. The XLA paths partition cleanly (halo exchanges).
-        import dataclasses
-        cfg = dataclasses.replace(cfg, laplacian_impl="xla",
-                                  gram_impl="xla", pool_impl="xla")
+    cfg = (cfg or StylizeConfig()).spmd_safe()
+    # spmd_safe: Pallas custom calls don't partition under automatic
+    # SPMD, so the Gram/pool kernels fall back to their XLA lowerings
+    # (which XLA partitions with its own halo exchanges) while
+    # laplacian_impl="pallas" is rewritten to the shard_map + explicit
+    # halo-exchange path (ops/laplacian_spmd.py) that keeps the kernel.
     if vgg_params is None:
         from ..models import vgg
         vgg_params = vgg.get_params(seed=cfg.seed)

@@ -109,3 +109,61 @@ def test_conv_form_upsample_matches_broadcast(rng):
     np.testing.assert_array_equal(up, expected)
     s = np.asarray(vgg._downsample2_sum(jnp.asarray(expected)))
     np.testing.assert_allclose(s, 4.0 * yb, rtol=1e-6)
+
+
+# --- second-generation streamed Gram (ops/gram_stream.py) ----------------
+
+@pytest.mark.parametrize("shape,k,norm", [
+    ((40, 56, 16), 3, "m2"),    # P not a lane multiple -> padded bands
+    ((64, 64, 64), 4, "m1"),
+    ((32, 32, 8), 1, "m2"),
+])
+def test_gram_stream_matches_fused(rng, shape, k, norm):
+    from dpst_tpu.ops.gram_stream import masked_grams_stream
+    feat = rng.normal(size=shape).astype(np.float32)
+    masks = rng.uniform(size=(k,) + shape[:2]).astype(np.float32)
+    if k > 1:
+        masks[-1] = 0.0           # padded class contributes exactly 0
+    ref = losses.masked_grams_fused(jnp.asarray(feat), jnp.asarray(masks),
+                                    norm=norm)
+    got = masked_grams_stream(jnp.asarray(feat), jnp.asarray(masks),
+                              norm=norm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_gram_stream_gradient_matches_fused(rng):
+    from dpst_tpu.ops.gram_stream import masked_grams_stream
+    feat = jnp.asarray(rng.normal(size=(40, 56, 16)).astype(np.float32))
+    masks = jnp.asarray(rng.uniform(size=(3, 40, 56)).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(size=(3, 16, 16)).astype(np.float32))
+
+    def loss(fn):
+        return lambda x: jnp.sum(
+            (fn(x, masks) - tgt) ** 2)
+
+    g_ref = jax.grad(loss(losses.masked_grams_fused))(feat)
+    g_new = jax.grad(loss(masked_grams_stream))(feat)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gram_stream_in_style_loss(rng):
+    """gram_impl="stream" through style_layer_loss ≡ the fused path
+    (values and gradients), both norms."""
+    feat = jnp.asarray(rng.normal(size=(32, 48, 16)).astype(np.float32))
+    masks = jnp.asarray(rng.uniform(size=(2, 32, 48)).astype(np.float32))
+    grams = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+    cov = jnp.asarray([0.4, 0.6], jnp.float32)
+    for style_norm in ("gatys", "paper"):
+        args = (grams, masks, cov)
+        f_ref = lambda x: losses.style_layer_loss(
+            x, *args, style_norm=style_norm, gram_impl="xla")
+        f_new = lambda x: losses.style_layer_loss(
+            x, *args, style_norm=style_norm, gram_impl="stream")
+        np.testing.assert_allclose(float(f_new(feat)), float(f_ref(feat)),
+                                   rtol=1e-5)
+        g_ref = jax.grad(f_ref)(feat)
+        g_new = jax.grad(f_new)(feat)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)

@@ -129,3 +129,29 @@ def test_constants_placement_is_field_explicit(pair):
         assert shapes == {(16,) + x.shape[1:]}, x.shape
     shapes = {s.data.shape for s in image.addressable_shards}
     assert shapes == {(16, 64, 3)}
+
+
+def test_spatial_spmd_pallas_laplacian(pair):
+    """laplacian_impl="pallas" in spatial mode routes to the shard_map +
+    halo-exchange SPMD path (spmd_safe) and matches the XLA-stencil run
+    (interpret-mode kernel on the CPU mesh)."""
+    import dataclasses
+
+    from dpst_tpu.parallel.spatial import make_spatial_mesh, \
+        stylize_spatial
+
+    content, style, mc, ms = pair
+    from dpst_tpu.models import vgg
+    params = vgg.init_params(seed=0)
+    cfg = dataclasses.replace(_cfg(), iterations=4)
+    mesh = make_spatial_mesh(4)
+    img_ref, hist_ref = stylize_spatial(
+        content, style, mc, ms, cfg=cfg, vgg_params=params, mesh=mesh)
+    cfg_p = dataclasses.replace(cfg, laplacian_impl="pallas")
+    assert cfg_p.spmd_safe().laplacian_impl == "spmd"
+    img_sp, hist_sp = stylize_spatial(
+        content, style, mc, ms, cfg=cfg_p, vgg_params=params, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(hist_sp)[:, 0], np.asarray(hist_ref)[:, 0], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(img_sp), np.asarray(img_ref), rtol=5e-2, atol=2.0)

@@ -25,6 +25,8 @@ VARIANTS = {
     "remat-block1": {"remat": "block1"},
     "remat-block12": {"remat": "block12"},
     "postact": {"pool_impl": "postact"},
+    "streamgram": {"gram_impl": "stream"},
+    "xlagram": {"gram_impl": "xla"},
 }
 
 # XLA compiler-option variants: the axon remote-compile service accepts
