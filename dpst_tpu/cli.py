@@ -76,7 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--no-photorealism", action="store_true")
     g.add_argument("--matting-epsilon", type=float, default=1e-5)
     g.add_argument("--laplacian-impl",
-                   choices=("auto", "pallas", "xla"), default="auto")
+                   choices=("auto", "pallas", "xla", "spmd"),
+                   default="auto")
     g.add_argument("--post-smooth", type=int, default=0, metavar="RADIUS",
                    help="smooth-local-affine post-process window radius "
                         "(guided filter; 0 = off)")
@@ -106,8 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "pallas", "xla", "flipvjp"),
                    default="auto", help="VGG conv kernel backend")
     g.add_argument("--gram-impl",
-                   choices=("auto", "pallas", "xla", "dotg"),
+                   choices=("auto", "pallas", "xla", "dotg", "stream"),
                    default="auto", help="masked-Gram kernel backend")
+    g.add_argument("--s2b-strips", type=int, default=-1,
+                   help="manual space-to-batch of VGG blocks 1-2: -1 "
+                        "auto (64-row strips on TPU at >=512^2 images), "
+                        "0 off, N strips")
     g.add_argument("--pool-impl",
                    choices=("auto", "pallas", "xla", "noties", "postact"),
                    default="auto", help="max-pool backward backend")
@@ -182,6 +187,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "dtype": "compute_dtype", "pooling": "pooling",
             "conv_impl": "conv_impl", "gram_impl": "gram_impl",
             "pool_impl": "pool_impl", "remat": "remat",
+            "s2b_strips": "s2b_strips",
         }
         for flag, field in flag_to_field.items():
             if was_set(flag):
@@ -230,6 +236,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         conv_impl=args.conv_impl,
         gram_impl=args.gram_impl,
         pool_impl=args.pool_impl,
+        s2b_strips=args.s2b_strips,
         remat=args.remat,
     )
 

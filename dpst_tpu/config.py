@@ -71,6 +71,15 @@ class StylizeConfig:
     # pool (bit-equivalent, measured faster); "xla" = classic pre-pool
     # epilogue; "pallas" = fused bwd kernel; "noties" = full-tie bwd
     pool_impl: str = "auto"
+    # Manual space-to-batch of VGG blocks 1-2 (models/vgg._s2b_enabled):
+    # -1 = auto (64-row strips on TPU at ≥512²-class images, off
+    # elsewhere — 256² measured a regression); 0 = off (XLA's
+    # own batch-1 space-to-batch rewrite); N>1 = split the image into N
+    # row strips with an 8-px halo and run blocks 1-2 at batch=N — kills
+    # the per-conv relayout copies of the rewrite at the price of ~25%
+    # redundant conv FLOPs in those blocks (512² full step: 135.2 vs
+    # 121.5 it/s). Exact: strip interiors are the undecomposed values.
+    s2b_strips: int = -1
     # "none" | "full" | "block1" | "block12": jax.checkpoint the loss —
     # the backward recomputes (all | block-1 | block-1+2) VGG activations
     # instead of storing residuals (trades MXU FLOPs for the HBM-bound
@@ -156,6 +165,9 @@ class StylizeConfig:
             gram_impl={"stream": "xla", "pallas": "xla", "auto": "xla"}.get(
                 self.gram_impl, self.gram_impl),
             pool_impl={"pallas": "xla"}.get(self.pool_impl, self.pool_impl),
+            # strip slicing along the row axis would gather across
+            # shards; XLA's own rewrite partitions correctly instead
+            s2b_strips=0,
         )
 
     def prepare_config(self) -> "StylizeConfig":
@@ -177,7 +189,7 @@ class StylizeConfig:
             clip_pixels=True, seed=0,
             scales=(), scale_iter_factor=1.0,
             style_layer_weights=(1.0,) * len(self.style_layers),
-            remat="none",
+            remat="none", s2b_strips=0,
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             laplacian_impl="auto",
@@ -210,6 +222,10 @@ class StylizeConfig:
             raise ValueError(f"unknown pool_impl {self.pool_impl!r}")
         if self.remat not in ("none", "full", "block1", "block12"):
             raise ValueError(f"unknown remat {self.remat!r}")
+        if self.s2b_strips < -1:
+            raise ValueError(
+                f"s2b_strips must be -1 (auto), 0 (off) or a strip "
+                f"count, got {self.s2b_strips}")
 
 
 # Named presets matching BASELINE.json configs 1-5.

@@ -288,14 +288,65 @@ def _pool(x: jnp.ndarray, kind: str, pool_impl: str = "xla") -> jnp.ndarray:
     return s * 0.25
 
 
+# Manual space-to-batch of blocks 1-2: input halo rows per strip. 8 is
+# exactly sufficient for every row consumed downstream to be computed
+# from real data through conv1_1..conv2_2+pool2 (validity chain:
+# conv1_1 ±1, conv1_2 ±1, pool1 ÷2, conv2_1 ±2, conv2_2 ±2, pool2 ÷2).
+_S2B_HALO = 8
+
+
+def _resolve_s2b(s2b_strips: int, h: int, w: int) -> int:
+    """-1 = auto: 64-row strips on TPU for large images, off elsewhere.
+
+    Measured (tools/perf_lab.py + ad-hoc sweeps, v5e full step):
+      * 512²: 135.2 / 121.5 / 87.1 it/s at strip heights 64/32/128 —
+        64 rows is the sweet spot, so auto uses h // 64 strips;
+      * 1024²: 32.1 vs 25.8 it/s (+24%);
+      * 256²: 366 vs 467 it/s — a REGRESSION: the relayout copies the
+        strips displace shrink with the tensors, but the ~25% halo
+        redundancy doesn't, so auto stays off below 512²-class images;
+      * CPU: no space-to-batch rewrite exists to displace — off.
+    """
+    if s2b_strips != -1:
+        return s2b_strips
+    if jax.default_backend() != "tpu" or h % 64 or h * w < 512 * 512:
+        return 0
+    return h // 64
+
+
+def _s2b_enabled(s2b_strips: int, image_shape, layers) -> bool:
+    """Static gate for the manual strip decomposition of blocks 1-2.
+
+    Why it exists (ARCHITECTURE.md layout-tax campaign): XLA rewrites
+    every batch-1 VGG conv with its space-to-batch pass (W split 8× +
+    halo) and re-assembles around each conv's consumers — ~2.1 ms/step
+    of pure relayout `copy` ops at 512². Splitting the IMAGE into S row
+    strips with an 8-px halo runs blocks 1-2 (the 33/17 MB tensors where
+    the copies concentrate) at batch=S, where the conv emitters operate
+    natively and the rewrite never fires. Strip interiors are exact:
+    every halo-contaminated row is sliced away before use, so taps and
+    pool2 output are bit-comparable to the undecomposed path; the cost
+    is 25% redundant conv FLOPs in blocks 1-2 (80/64 rows per strip).
+    """
+    if s2b_strips <= 1:
+        return False
+    b, h, w, _ = image_shape
+    hs = h // s2b_strips
+    return (b == 1 and h % s2b_strips == 0 and hs % 4 == 0
+            and hs >= 4 * _S2B_HALO
+            and max(LAYER_ORDER.index(l) for l in layers)
+            > LAYER_ORDER.index("pool2"))
+
+
 @partial(jax.jit, static_argnames=("layers", "pooling", "compute_dtype",
-                                   "conv_impl", "pool_impl"))
+                                   "conv_impl", "pool_impl", "s2b_strips"))
 def extract_features(params: dict, image: jnp.ndarray,
                      layers: tuple[str, ...],
                      pooling: str = "max",
                      compute_dtype: str = "float32",
                      conv_impl: str = "auto",
-                     pool_impl: str = "auto") -> dict:
+                     pool_impl: str = "auto",
+                     s2b_strips: int = 0) -> dict:
     """Run VGG-19 up to the deepest layer in `layers`.
 
     Args:
@@ -315,6 +366,41 @@ def extract_features(params: dict, image: jnp.ndarray,
     cdt = jnp.dtype(compute_dtype)
     x = _preprocess_noflip(image.astype(jnp.float32)).astype(cdt)
 
+    # manual space-to-batch of blocks 1-2 (see _s2b_enabled): S row
+    # strips with 8 halo rows, batch-S convs, exact interior slicing
+    strip_halo = None
+    strip_own = 0
+    s2b_strips = _resolve_s2b(s2b_strips, x.shape[1], x.shape[2])
+    if _s2b_enabled(s2b_strips, x.shape, layers):
+        hs = x.shape[1] // s2b_strips
+        xp = jnp.pad(x[0], ((_S2B_HALO, _S2B_HALO), (0, 0), (0, 0)))
+        x = jnp.stack([
+            jax.lax.slice_in_dim(xp, i * hs, i * hs + hs + 2 * _S2B_HALO,
+                                 axis=0)
+            for i in range(s2b_strips)])          # (S, hs+16, W, 3)
+        strip_halo, strip_own = _S2B_HALO, hs
+
+    def _interior(t):
+        """Strip tensor -> the exact batch-1 tensor it decomposes."""
+        s, _, w_l, c_l = t.shape
+        t = t[:, strip_halo:strip_halo + strip_own]
+        return t.reshape(1, s * strip_own, w_l, c_l)
+
+    def _zero_oob(t):
+        """Zero rows that lie beyond the global image.
+
+        The undecomposed network zero-pads ACTIVATIONS at the image
+        boundary (each SAME conv pads its post-ReLU input), but the edge
+        strips' halo rows are zero IMAGE rows, whose activation is
+        relu(bias) ≠ 0. Re-zeroing after every activation in the strip
+        region restores exact equivalence; interior strips are untouched
+        (their halo rows hold real data). Fuses into the epilogue."""
+        s, rows = t.shape[0], t.shape[1]
+        gi = (jnp.arange(s)[:, None] * strip_own
+              + jnp.arange(rows)[None, :] - strip_halo)
+        ok = (gi >= 0) & (gi < s * strip_own)
+        return t * ok[:, :, None, None].astype(t.dtype)
+
     deepest = max(LAYER_ORDER.index(l) for l in layers)
     taps = {}
     pending_bias = None
@@ -323,6 +409,9 @@ def extract_features(params: dict, image: jnp.ndarray,
             break
         if name.startswith("pool"):
             x = _pool(x, pooling, pool_impl)
+            if strip_halo is not None:
+                strip_halo //= 2
+                strip_own //= 2
             if pending_bias is not None:
                 # deferred epilogue (pool_impl="postact"): per-channel
                 # bias is constant within a window and ReLU is monotone,
@@ -333,6 +422,11 @@ def extract_features(params: dict, image: jnp.ndarray,
                 # conv output with no elementwise island in between
                 x = jnp.maximum(x + pending_bias, 0.0)
                 pending_bias = None
+                if strip_halo is not None and name != "pool2":
+                    x = _zero_oob(x)   # see _zero_oob: edge-strip halos
+            if strip_halo is not None and name == "pool2":
+                x = _interior(x)                 # back to batch 1
+                strip_halo = None
             x = checkpoint_name(x, f"vgg_block{name[4]}")
             continue
         p = params[name]
@@ -365,6 +459,8 @@ def extract_features(params: dict, image: jnp.ndarray,
             continue
         x = x + p["b"].astype(cdt)
         x = jnp.maximum(x, 0.0)
+        if strip_halo is not None:
+            x = _zero_oob(x)           # see _zero_oob: edge-strip halos
         # remat tag: under cfg.remat="blockN" policies these activations
         # are NOT saved as autodiff residuals — the backward recomputes
         # them — which drops the HBM-bound layout copies of the largest
@@ -375,7 +471,8 @@ def extract_features(params: dict, image: jnp.ndarray,
             # re-casts to it for the Gram matmuls, so fp32 taps would be
             # a pure HBM round-trip (~100 MB/step at 512²); loss math
             # accumulates in fp32 regardless.
-            taps[name] = x[0] if squeeze else x
+            t = _interior(x) if strip_halo is not None else x
+            taps[name] = t[0] if squeeze else t
     return taps
 
 

@@ -68,7 +68,8 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
         feats = vgg.extract_features(
             vgg_params, image, all_layers,
             pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
-            conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl)
+            conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
+            s2b_strips=cfg.s2b_strips)
 
         l_content = jnp.float32(0.0)
         for layer in cfg.content_layers:

@@ -60,7 +60,8 @@ def _val_grad(params, content, style, masks, **kw):
     {"pool_impl": "postact"},
     {"pool_impl": "xla"},
     {"conv_impl": "flipvjp", "pool_impl": "noties", "gram_impl": "dotg"},
-], ids=lambda kw: "+".join(kw.values()))
+    {"gram_impl": "stream"},
+], ids=lambda kw: "+".join(str(v) for v in kw.values()))
 def test_variant_matches_default(kw):
     content, style, masks = _pair()
     params = vgg.get_params(seed=0)
@@ -68,6 +69,26 @@ def test_variant_matches_default(kw):
     v1, g1 = _val_grad(params, content, style, masks, **kw)
     assert np.isfinite(v1)
     np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    scale = np.max(np.abs(g0))
+    np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
+
+
+def test_s2b_strips_full_loss_parity():
+    """s2b_strips through the full loss (needs rows ≥ 32·strips, so a
+    tall 256×64 pair rather than the shared 64² fixture)."""
+    r = np.random.default_rng(11)
+    content = r.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    masks = np.zeros((2, 256, 64), np.float32)
+    masks[0, :128] = 1.0
+    masks[1, 128:] = 1.0
+    params = vgg.get_params(seed=0)
+    v0, g0 = _val_grad(params, content, style, masks)
+    v1, g1 = _val_grad(params, content, style, masks, s2b_strips=8)
+    # forward is bit-exact (same convs over the same windows); the
+    # gradient picks up fp32 summation-order noise in the reassembly's
+    # overlapping halo scatter-adds
+    np.testing.assert_allclose(v1, v0, rtol=1e-6)
     scale = np.max(np.abs(g0))
     np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
 

@@ -100,3 +100,56 @@ def test_deterministic_init():
     p2 = vgg.init_params(seed=0)
     np.testing.assert_array_equal(np.asarray(p1["conv3_2"]["w"]),
                                   np.asarray(p2["conv3_2"]["w"]))
+
+
+# --- manual space-to-batch of blocks 1-2 (s2b_strips) --------------------
+
+def test_s2b_strips_exact():
+    """The strip decomposition is exact: taps are bit-identical to the
+    undecomposed path (every halo-contaminated row is sliced away or
+    re-zeroed — models/vgg._zero_oob), and gradients agree to fp32
+    summation-order roundoff (the reassembly's overlapping halo
+    scatter-adds sum strip cotangents in a different order)."""
+    import jax
+    import jax.numpy as jnp
+    r = np.random.default_rng(7)
+    params = vgg.init_params(seed=0)
+    layers = ("conv1_1", "conv2_1", "conv3_1", "conv5_1", "conv4_2")
+    for (h, w, s) in [(256, 64, 8), (128, 96, 4)]:
+        assert vgg._s2b_enabled(s, (1, h, w, 3), layers)
+        img = jnp.asarray(r.uniform(0, 255, (h, w, 3)), jnp.float32)
+        for pooling in ("max", "avg"):
+            t0 = vgg.extract_features(params, img, layers, pooling=pooling)
+            t8 = vgg.extract_features(params, img, layers, pooling=pooling,
+                                      s2b_strips=s)
+            for l in layers:
+                np.testing.assert_array_equal(np.asarray(t0[l]),
+                                              np.asarray(t8[l]))
+
+        def loss(x, st):
+            t = vgg.extract_features(params, x, layers, s2b_strips=st)
+            return sum(jnp.sum(v.astype(jnp.float32) ** 2)
+                       for v in t.values())
+
+        g0 = np.asarray(jax.grad(loss)(img, 0))
+        g8 = np.asarray(jax.grad(loss)(img, s))
+        scale = np.max(np.abs(g0))
+        np.testing.assert_allclose(g8 / scale, g0 / scale, atol=1e-5)
+
+
+def test_s2b_gate_fallbacks():
+    """Images the strip arithmetic can't decompose fall back to the
+    plain path (indivisible rows, too-small strips, shallow taps)."""
+    assert vgg._s2b_enabled(8, (1, 512, 512, 3), ("conv5_1",))
+    assert not vgg._s2b_enabled(0, (1, 512, 512, 3), ("conv5_1",))
+    assert not vgg._s2b_enabled(8, (1, 24 * 8, 512, 3), ("conv5_1",))  # hs=24 < 32
+    assert not vgg._s2b_enabled(8, (1, 66 * 8, 512, 3), ("conv5_1",))  # hs % 4
+    assert not vgg._s2b_enabled(8, (1, 500, 512, 3), ("conv5_1",))     # 500 % 8
+    assert not vgg._s2b_enabled(8, (2, 512, 512, 3), ("conv5_1",))     # batch
+    assert not vgg._s2b_enabled(8, (1, 512, 512, 3), ("conv2_1",))     # shallow
+    r = np.random.default_rng(3)
+    import jax.numpy as jnp
+    img = jnp.asarray(r.uniform(0, 255, (192, 64, 3)), jnp.float32)  # hs=24
+    params = vgg.init_params(seed=0)
+    t = vgg.extract_features(params, img, ("conv3_1",), s2b_strips=8)
+    assert t["conv3_1"].shape == (48, 16, 256)

@@ -27,6 +27,9 @@ VARIANTS = {
     "postact": {"pool_impl": "postact"},
     "streamgram": {"gram_impl": "stream"},
     "xlagram": {"gram_impl": "xla"},
+    "s2b8": {"s2b_strips": 8},
+    "s2b4": {"s2b_strips": 4},
+    "s2b16": {"s2b_strips": 16},
 }
 
 # XLA compiler-option variants: the axon remote-compile service accepts
