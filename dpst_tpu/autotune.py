@@ -78,6 +78,12 @@ def autotune(content, style, config: StylizeConfig | None = None, *,
     stylization.
     """
     cfg = config or StylizeConfig()
+    if cfg.s2b_strips:
+        # Γ candidates optimize vmapped — batch already exists for the
+        # conv emitters, so the strip decomposition would add only its
+        # halo redundancy (same reasoning/measurement as stylize_batch)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, s2b_strips=0)
     content_np = io.load_image(content, size)
     hw = content_np.shape[:2]
     style_np = io.load_image(style, hw)

@@ -74,6 +74,13 @@ def stylize_batch(contents, styles, cmasks, smasks,
     the unmasked case). Returns (images (B, H, W, 3), history (B, it, 5)).
     """
     cfg = cfg or StylizeConfig()
+    if cfg.s2b_strips:
+        # the strip decomposition exists to manufacture batch for XLA's
+        # conv emitters; a vmapped B-pair run already has it (measured:
+        # B=8 @512², 96.4 -> 86.6 pair-it/s with strips — pure halo
+        # redundancy). The gate can't see the vmapped axis, so off here.
+        import dataclasses
+        cfg = dataclasses.replace(cfg, s2b_strips=0)
     if vgg_params is None:
         from ..models import vgg
         vgg_params = vgg.get_params(seed=cfg.seed)

@@ -30,6 +30,8 @@ VARIANTS = {
     "s2b8": {"s2b_strips": 8},
     "s2b4": {"s2b_strips": 4},
     "s2b16": {"s2b_strips": 16},
+    "s2b8+flipvjp": {"s2b_strips": 8, "conv_impl": "flipvjp"},
+    "s2b8+noties": {"s2b_strips": 8, "pool_impl": "noties"},
 }
 
 # XLA compiler-option variants: the axon remote-compile service accepts
