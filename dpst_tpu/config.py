@@ -63,9 +63,10 @@ class StylizeConfig:
     compute_dtype: str = "bfloat16"      # conv compute dtype on TPU
     # fp32 accumulation is always used (preferred_element_type)
     conv_impl: str = "auto"              # "auto" | "pallas" | "xla"
-    # masked-Gram backend: "auto" = streamed Pallas kernel on TPU at
-    # large P (gram_stream.py), XLA fused matmul elsewhere; "stream" /
-    # "pallas" / "dotg" / "xla" force a specific lowering
+    # masked-Gram backend: "auto" = XLA fused wide matmul (the measured
+    # winner); "stream" (gram_stream.py band-dot kernel) / "pallas" /
+    # "dotg" force a specific lowering (all slower in-loop — layout tax,
+    # see ARCHITECTURE.md)
     gram_impl: str = "auto"
     # max-pool lowering: "auto"/"postact" = deferred bias+ReLU past the
     # pool (bit-equivalent, measured faster); "xla" = classic pre-pool
@@ -210,7 +211,8 @@ class StylizeConfig:
             raise ValueError(f"unknown pooling {self.pooling!r}")
         if self.laplacian_impl not in ("auto", "pallas", "xla", "spmd"):
             raise ValueError(f"unknown laplacian_impl {self.laplacian_impl!r}")
-        if self.conv_impl not in ("auto", "pallas", "xla", "flipvjp"):
+        if self.conv_impl not in ("auto", "pallas", "xla", "flipvjp",
+                                  "padbwd"):
             raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
         if self.style_norm not in ("gatys", "paper"):
             raise ValueError(f"unknown style_norm {self.style_norm!r}")

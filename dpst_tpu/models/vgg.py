@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +113,38 @@ def _conv_flipvjp_bwd(w, g):
 
 
 _conv_flipvjp.defvjp(_conv_flipvjp_fwd, _conv_flipvjp_bwd)
+
+
+# conv1_1's input gradient is a conv with THREE output channels (the
+# image), which the TPU conv emitters run at ~1% MXU (profiler: the
+# fused conv1_1-bwd op is >1 ms/step at 512² with s2b — the single
+# largest op). Padding the flipped weight's out-channels to a
+# lane-friendlier count trades redundant FLOPs for emitter efficiency.
+_PADBWD_COUT = 16
+
+
+@jax.custom_vjp
+def _conv_padbwd(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return _conv_raw(x, w)
+
+
+def _conv_padbwd_fwd(x, w):
+    return _conv_raw(x, w), w
+
+
+def _conv_padbwd_bwd(w, g):
+    gw = w[::-1, ::-1].transpose(0, 1, 3, 2)      # (3,3,Cout,Cin) flipped
+    cin = gw.shape[3]
+    pad = (-cin) % _PADBWD_COUT
+    if pad:
+        gw = jnp.pad(gw, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    gx = _conv_raw(g, gw)
+    if pad:
+        gx = gx[..., :cin]
+    return gx, jnp.zeros_like(w)
+
+
+_conv_padbwd.defvjp(_conv_padbwd_fwd, _conv_padbwd_bwd)
 
 
 def _use_pallas_conv(conv_impl: str, width: int, cin: int) -> bool:
@@ -295,6 +328,59 @@ def _pool(x: jnp.ndarray, kind: str, pool_impl: str = "xla") -> jnp.ndarray:
 _S2B_HALO = 8
 
 
+@jax.tree_util.register_pytree_node_class
+class StripTap:
+    """A block-1/2 tap left in strip form (extract_features strip_taps).
+
+    `data` is (S, own+2·halo, W, C); rows [halo, halo+own) of strip i are
+    global rows [i·own, (i+1)·own) — `data[:, halo:halo+own].reshape` IS
+    the plain tap. Keeping the strip form lets the masked-Gram consume
+    the tensor without the interior-slice copy: `strip_masks` lays the
+    per-class masks out in the same geometry with halo rows ZEROED, so
+    halo pixels (duplicated across strips) carry zero Gram weight and
+    zero cotangent — the Gram and its gradient are exactly those of the
+    sliced tap.
+
+    (halo, own) are pytree AUX data, not leaves — they are shape
+    metadata and must stay concrete through jit boundaries.
+
+    Status: validated but NOT used by the hot loop — measured 127.4 vs
+    134.3 it/s on the 512² full step (the Gram contraction grows by the
+    ~25% halo rows, which costs more than the interior-slice copies it
+    removes). Kept as an opt-in (`extract_features(strip_taps=True)`)
+    with tests, mirroring the other measured-negative lowerings.
+    """
+
+    def __init__(self, data: jnp.ndarray, halo: int, own: int):
+        self.data = data
+        self.halo = halo
+        self.own = own
+
+    def tree_flatten(self):
+        return (self.data,), (self.halo, self.own)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    def plain(self) -> jnp.ndarray:
+        """Materialize the equivalent (H, W, C) tap (tests/debug)."""
+        s, _, w, c = self.data.shape
+        t = self.data[:, self.halo:self.halo + self.own]
+        return t.reshape(s * self.own, w, c)
+
+
+def strip_masks(mask: jnp.ndarray, halo: int, own: int) -> jnp.ndarray:
+    """(K, H, W) layer masks -> (K, S·(own+2·halo), W) strip-form masks
+    with zeros in every halo row (see StripTap). Loop-invariant given
+    the mask constants — XLA hoists it out of the optimization scan."""
+    k, h, w = mask.shape
+    s = h // own
+    m = mask.reshape(k, s, own, w)
+    m = jnp.pad(m, ((0, 0), (0, 0), (halo, halo), (0, 0)))
+    return m.reshape(k, s * (own + 2 * halo), w)
+
+
 def _resolve_s2b(s2b_strips: int, h: int, w: int) -> int:
     """-1 = auto: 64-row strips on TPU for large images, off elsewhere.
 
@@ -339,14 +425,16 @@ def _s2b_enabled(s2b_strips: int, image_shape, layers) -> bool:
 
 
 @partial(jax.jit, static_argnames=("layers", "pooling", "compute_dtype",
-                                   "conv_impl", "pool_impl", "s2b_strips"))
+                                   "conv_impl", "pool_impl", "s2b_strips",
+                                   "strip_taps"))
 def extract_features(params: dict, image: jnp.ndarray,
                      layers: tuple[str, ...],
                      pooling: str = "max",
                      compute_dtype: str = "float32",
                      conv_impl: str = "auto",
                      pool_impl: str = "auto",
-                     s2b_strips: int = 0) -> dict:
+                     s2b_strips: int = 0,
+                     strip_taps: bool = False) -> dict:
     """Run VGG-19 up to the deepest layer in `layers`.
 
     Args:
@@ -443,6 +531,9 @@ def extract_features(params: dict, image: jnp.ndarray,
             x = _pallas_conv(x, w.astype(cdt))
         elif conv_impl == "flipvjp":
             x = _conv_flipvjp(x, w.astype(cdt))
+        elif conv_impl == "padbwd" and x.shape[3] < _PADBWD_COUT:
+            # only conv1_1 has a narrow input-gradient (3 channels)
+            x = _conv_padbwd(x, w.astype(cdt))
         else:
             x = jax.lax.conv_general_dilated(
                 x, w.astype(cdt), (1, 1), "SAME",
@@ -471,8 +562,13 @@ def extract_features(params: dict, image: jnp.ndarray,
             # re-casts to it for the Gram matmuls, so fp32 taps would be
             # a pure HBM round-trip (~100 MB/step at 512²); loss math
             # accumulates in fp32 regardless.
-            t = _interior(x) if strip_halo is not None else x
-            taps[name] = t[0] if squeeze else t
+            if strip_halo is not None and strip_taps:
+                # leave the tap in strip form — the masked Gram consumes
+                # it via strip_masks with no interior-slice copy
+                taps[name] = StripTap(x, strip_halo, strip_own)
+            else:
+                t = _interior(x) if strip_halo is not None else x
+                taps[name] = t[0] if squeeze else t
     return taps
 
 

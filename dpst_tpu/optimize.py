@@ -65,6 +65,10 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
 
     def loss_fn(image: jnp.ndarray, consts: StylizeConstants,
                 weights: LossWeights, vgg_params: dict):
+        # strip_taps=False: feeding the Gram the raw strip tensors with
+        # halo-zeroed masks (vgg.StripTap / strip_masks) measured 127.4
+        # vs 134.3 it/s — the +25% wider contraction costs more than the
+        # interior-slice copies it removes. Plain taps are the winner.
         feats = vgg.extract_features(
             vgg_params, image, all_layers,
             pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,

@@ -153,3 +153,34 @@ def test_s2b_gate_fallbacks():
     params = vgg.init_params(seed=0)
     t = vgg.extract_features(params, img, ("conv3_1",), s2b_strips=8)
     assert t["conv3_1"].shape == (48, 16, 256)
+
+
+def test_strip_taps_equivalence():
+    """strip_taps=True returns StripTaps whose .plain() is bit-identical
+    to the default taps, and strip_masks-weighted Grams reproduce the
+    plain masked Grams exactly (halo rows carry zero weight)."""
+    import jax.numpy as jnp
+    from dpst_tpu.ops import losses
+    r = np.random.default_rng(5)
+    img = jnp.asarray(r.uniform(0, 255, (256, 64, 3)), jnp.float32)
+    params = vgg.init_params(seed=0)
+    layers = ("conv1_1", "conv2_1", "conv3_1")
+    t0 = vgg.extract_features(params, img, layers, s2b_strips=8)
+    ts = vgg.extract_features(params, img, layers, s2b_strips=8,
+                              strip_taps=True)
+    assert isinstance(ts["conv1_1"], vgg.StripTap)
+    assert isinstance(ts["conv2_1"], vgg.StripTap)
+    assert not isinstance(ts["conv3_1"], vgg.StripTap)   # past pool2
+    for l in ("conv1_1", "conv2_1"):
+        np.testing.assert_array_equal(np.asarray(ts[l].plain()),
+                                      np.asarray(t0[l]))
+    # Gram equivalence through strip-geometry masks
+    tap = ts["conv2_1"]
+    masks = jnp.asarray(r.uniform(0, 1, (3, 128, 32)), jnp.float32)
+    g_ref = losses.masked_grams_fused(t0["conv2_1"], masks)
+    s, rows, w, c = tap.data.shape
+    g_strip = losses.masked_grams_fused(
+        tap.data.reshape(s * rows, w, c),
+        vgg.strip_masks(masks, tap.halo, tap.own))
+    np.testing.assert_allclose(np.asarray(g_strip), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)

@@ -32,6 +32,7 @@ VARIANTS = {
     "s2b16": {"s2b_strips": 16},
     "s2b8+flipvjp": {"s2b_strips": 8, "conv_impl": "flipvjp"},
     "s2b8+noties": {"s2b_strips": 8, "pool_impl": "noties"},
+    "s2b8+padbwd": {"s2b_strips": 8, "conv_impl": "padbwd"},
 }
 
 # XLA compiler-option variants: the axon remote-compile service accepts
