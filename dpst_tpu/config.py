@@ -163,6 +163,7 @@ class StylizeConfig:
             self,
             laplacian_impl={"pallas": "spmd", "auto": "xla"}.get(
                 self.laplacian_impl, self.laplacian_impl),
+            conv_impl={"pallas": "xla"}.get(self.conv_impl, self.conv_impl),
             gram_impl={"stream": "xla", "pallas": "xla", "auto": "xla"}.get(
                 self.gram_impl, self.gram_impl),
             pool_impl={"pallas": "xla"}.get(self.pool_impl, self.pool_impl),

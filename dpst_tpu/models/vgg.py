@@ -107,9 +107,14 @@ def _conv_flipvjp_fwd(x, w):
     return _conv_raw(x, w), w
 
 
+def _flip_transpose(w: jnp.ndarray) -> jnp.ndarray:
+    """Input-gradient weights of a stride-1 SAME odd-kernel conv:
+    spatially flipped, in/out channels transposed — (3,3,Cout,Cin)."""
+    return w[::-1, ::-1].transpose(0, 1, 3, 2)
+
+
 def _conv_flipvjp_bwd(w, g):
-    gw = w[::-1, ::-1].transpose(0, 1, 3, 2)   # (3,3,Cout,Cin), flipped
-    return _conv_raw(g, gw), jnp.zeros_like(w)
+    return _conv_raw(g, _flip_transpose(w)), jnp.zeros_like(w)
 
 
 _conv_flipvjp.defvjp(_conv_flipvjp_fwd, _conv_flipvjp_bwd)
@@ -133,7 +138,7 @@ def _conv_padbwd_fwd(x, w):
 
 
 def _conv_padbwd_bwd(w, g):
-    gw = w[::-1, ::-1].transpose(0, 1, 3, 2)      # (3,3,Cout,Cin) flipped
+    gw = _flip_transpose(w)
     cin = gw.shape[3]
     pad = (-cin) % _PADBWD_COUT
     if pad:

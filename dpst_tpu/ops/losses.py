@@ -168,7 +168,9 @@ def style_layer_loss(feat_out: jnp.ndarray,
 
     # streamed Pallas path (gram_stream.py): the (P, K·C) weighted block
     # never leaves VMEM and every contraction is a standard (M,K)×(K,N)
-    # band dot — "auto" resolves to it on TPU at large P
+    # band dot. OPT-IN ("stream") only — measured 79.5 vs 121.1 it/s
+    # in-loop (layout tax at the custom-call boundary); "auto" keeps the
+    # fused XLA wide matmul below
     from .gram_stream import masked_grams_stream, use_stream
     if use_stream(h, w, k, c, gram_impl):
         g_o = masked_grams_stream(feat_out, out_masks,

@@ -99,17 +99,17 @@ def stylize_batch(contents, styles, cmasks, smasks,
         n = max(k for k in range(1, min(n_batch_dev, b) + 1)
                 if b % k == 0)
         mesh = mesh_lib.make_mesh(n)
+    import dataclasses
     if mesh.devices.size > 1:
         # Pallas custom calls don't partition under SPMD; on a real
         # multi-chip mesh the sharded operands would be all-gathered.
-        # The XLA paths partition cleanly — same math (tested). Unlike
-        # stylize_spatial, the per-pair loop here runs under vmap, where
-        # the shard_map halo-exchange Laplacian can't be used either —
-        # so "spmd" also falls back to the XLA stencil.
-        import dataclasses
+        # The XLA paths partition cleanly — same math (tested).
         cfg = cfg.spmd_safe()
-        if cfg.laplacian_impl == "spmd":
-            cfg = dataclasses.replace(cfg, laplacian_impl="xla")
+    if cfg.laplacian_impl == "spmd":
+        # the per-pair loop runs under vmap, where the shard_map
+        # halo-exchange Laplacian can't be used (and on a 1-device mesh
+        # no ambient row axis exists at all) — always the XLA stencil
+        cfg = dataclasses.replace(cfg, laplacian_impl="xla")
     if weights is None:
         weights = optimize.LossWeights.from_config(cfg)
 

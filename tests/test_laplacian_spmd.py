@@ -77,3 +77,44 @@ def test_spmd_requires_mesh():
     stats, v = _stats_and_v(8, 8)
     with pytest.raises(ValueError, match="ambient mesh"):
         matvec_spmd(stats, v)
+
+
+def test_spmd_safe_canonicalization():
+    from dpst_tpu import StylizeConfig
+    cfg = StylizeConfig(laplacian_impl="pallas", conv_impl="pallas",
+                        gram_impl="stream", pool_impl="pallas",
+                        s2b_strips=8)
+    safe = cfg.spmd_safe()
+    assert safe.laplacian_impl == "spmd"
+    assert safe.conv_impl == "xla"       # Pallas conv can't partition
+    assert safe.gram_impl == "xla"
+    assert safe.pool_impl == "xla"
+    assert safe.s2b_strips == 0
+    # plain-XLA lowerings survive untouched
+    cfg2 = StylizeConfig(pool_impl="postact", gram_impl="dotg",
+                         conv_impl="flipvjp", laplacian_impl="xla")
+    safe2 = cfg2.spmd_safe()
+    assert (safe2.pool_impl, safe2.gram_impl, safe2.conv_impl) == \
+        ("postact", "dotg", "flipvjp")
+
+
+def test_batch_single_device_spmd_falls_back():
+    """A cfg carrying laplacian_impl='spmd' (e.g. reused from a spatial
+    run) must not crash stylize_batch on a 1-device mesh — it falls back
+    to the XLA stencil."""
+    import dataclasses
+
+    from dpst_tpu import StylizeConfig
+    from dpst_tpu.parallel import mesh as mesh_lib
+    from dpst_tpu.parallel.batch import stylize_batch
+
+    r = np.random.default_rng(0)
+    c = r.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32)
+    s = r.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32)
+    m = np.ones((2, 1, 32, 32), np.float32)
+    cfg = StylizeConfig(use_segmentation=True, use_photorealism=True,
+                        max_classes=1, iterations=2,
+                        compute_dtype="float32", laplacian_impl="spmd")
+    imgs, hist = stylize_batch(c, s, m, m.copy(), cfg=cfg,
+                               mesh=mesh_lib.make_mesh(1))
+    assert np.isfinite(np.asarray(hist)).all()
