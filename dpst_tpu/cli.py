@@ -107,7 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "pallas", "xla", "flipvjp", "padbwd"),
                    default="auto", help="VGG conv kernel backend")
     g.add_argument("--gram-impl",
-                   choices=("auto", "pallas", "xla", "dotg", "stream"),
+                   choices=("auto", "pallas", "xla", "dotg", "stream",
+                            "hybrid"),
                    default="auto", help="masked-Gram kernel backend")
     g.add_argument("--s2b-strips", type=int, default=-1,
                    help="manual space-to-batch of VGG blocks 1-2: -1 "

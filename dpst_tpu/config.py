@@ -164,8 +164,8 @@ class StylizeConfig:
             laplacian_impl={"pallas": "spmd", "auto": "xla"}.get(
                 self.laplacian_impl, self.laplacian_impl),
             conv_impl={"pallas": "xla"}.get(self.conv_impl, self.conv_impl),
-            gram_impl={"stream": "xla", "pallas": "xla", "auto": "xla"}.get(
-                self.gram_impl, self.gram_impl),
+            gram_impl={"stream": "xla", "pallas": "xla", "auto": "xla",
+                       "hybrid": "xla"}.get(self.gram_impl, self.gram_impl),
             pool_impl={"pallas": "xla"}.get(self.pool_impl, self.pool_impl),
             # strip slicing along the row axis would gather across
             # shards; XLA's own rewrite partitions correctly instead
@@ -218,7 +218,7 @@ class StylizeConfig:
         if self.style_norm not in ("gatys", "paper"):
             raise ValueError(f"unknown style_norm {self.style_norm!r}")
         if self.gram_impl not in ("auto", "pallas", "xla", "dotg",
-                                  "stream"):
+                                  "stream", "hybrid"):
             raise ValueError(f"unknown gram_impl {self.gram_impl!r}")
         if self.pool_impl not in ("auto", "pallas", "xla", "noties",
                                   "postact"):

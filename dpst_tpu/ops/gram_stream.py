@@ -194,6 +194,63 @@ def _gram_raw_bwd(k, res, d):
 _gram_raw.defvjp(_gram_raw_fwd, _gram_raw_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gram_raw_hybrid(f2: jnp.ndarray, m2: jnp.ndarray, k: int
+                     ) -> jnp.ndarray:
+    """Like _gram_raw but with the FORWARD on XLA's fused wide matmul.
+
+    Rationale (hybrid = best of both measured worlds): the XLA forward
+    (materialized (P, K·C) weighted block + one wide dot) beats every
+    streamed forward tried, but XLA's autodiff of that formulation
+    moves ~3×134 MB at conv1_1/512²/K=4 — the stored fw residual is
+    re-read and a full-size d_fw cotangent is written then re-read. The
+    stream BACKWARD kernel needs only one pass over fᵀ (the band dots
+    compute dFᵀ = Σ_k m2_k ⊙ (S_k·fᵀ) directly), so the backward HBM
+    drops ~6×. Masks are constants — zero cotangent.
+    """
+    out, _ = _gram_raw_hybrid_fwd(f2, m2, k)
+    return out
+
+
+def _gram_raw_hybrid_fwd(f2, m2, k):
+    p, c = f2.shape
+    fw = (f2[:, None, :] * m2[:k].T[:, :, None]).reshape(p, k * c)
+    g = jnp.dot(f2.T, fw, preferred_element_type=jnp.float32)
+    g = g.reshape(c, k, c).transpose(1, 0, 2)            # (K, C, C)
+    return g, (f2.T, m2)          # ft residual feeds the stream backward
+
+
+_gram_raw_hybrid.defvjp(_gram_raw_hybrid_fwd, _gram_raw_bwd)
+
+
+def masked_grams_hybrid(feat: jnp.ndarray, masks: jnp.ndarray,
+                        eps: float = 1e-8,
+                        compute_dtype: str | jnp.dtype = "float32",
+                        norm: str = "m2") -> jnp.ndarray:
+    """masked_grams_fused forward + streamed Pallas backward (see
+    _gram_raw_hybrid). Same signature/semantics as the other backends."""
+    h, w, c = feat.shape
+    k = masks.shape[0]
+    cdt = jnp.dtype(compute_dtype)
+    p = h * w
+    trw = _pick_trw(p, k, c, cdt.itemsize)
+    ppad = _round_up(p, trw)
+    kpad = _round_up(k, 16)
+
+    f2 = feat.astype(cdt).reshape(p, c)
+    m2 = (masks * masks).astype(cdt).reshape(k, p)
+    if ppad != p:
+        f2 = jnp.pad(f2, ((0, ppad - p), (0, 0)))
+        m2 = jnp.pad(m2, ((0, 0), (0, ppad - p)))
+    m2 = jnp.pad(m2, ((0, kpad - k), (0, 0)))
+
+    g = _gram_raw_hybrid(f2, m2, k)
+    masks32 = masks.astype(jnp.float32)
+    n = (jnp.sum(masks32 ** 2, axis=(1, 2)) if norm == "m2"
+         else jnp.sum(masks32, axis=(1, 2)))
+    return g / jnp.maximum(n, eps)[:, None, None]
+
+
 def masked_grams_stream(feat: jnp.ndarray, masks: jnp.ndarray,
                         eps: float = 1e-8,
                         compute_dtype: str | jnp.dtype = "float32",

@@ -179,6 +179,16 @@ def style_layer_loss(feat_out: jnp.ndarray,
         per_class = jnp.sum(d * d, axis=(1, 2))
         return scale * jnp.sum(class_w * per_class)
 
+    # hybrid: XLA fused forward + streamed Pallas backward (the two
+    # measured winners composed — see gram_stream._gram_raw_hybrid)
+    if gram_impl == "hybrid":
+        from .gram_stream import masked_grams_hybrid
+        g_o = masked_grams_hybrid(feat_out, out_masks,
+                                  compute_dtype=compute_dtype, norm=norm)
+        d = g_o - style_grams
+        per_class = jnp.sum(d * d, axis=(1, 2))
+        return scale * jnp.sum(class_w * per_class)
+
     # first-generation streaming kernel (dim-0 contraction; opt-in
     # baseline — see ops/gram_pallas.py for why it lost)
     from .gram_pallas import masked_grams_pallas, use_pallas

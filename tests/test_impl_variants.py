@@ -61,6 +61,7 @@ def _val_grad(params, content, style, masks, **kw):
     {"pool_impl": "xla"},
     {"conv_impl": "flipvjp", "pool_impl": "noties", "gram_impl": "dotg"},
     {"gram_impl": "stream"},
+    {"gram_impl": "hybrid"},
     {"conv_impl": "padbwd"},
 ], ids=lambda kw: "+".join(str(v) for v in kw.values()))
 def test_variant_matches_default(kw):
