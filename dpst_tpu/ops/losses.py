@@ -180,8 +180,16 @@ def style_layer_loss(feat_out: jnp.ndarray,
         return scale * jnp.sum(class_w * per_class)
 
     # hybrid: XLA fused forward + streamed Pallas backward (the two
-    # measured winners composed — see gram_stream._gram_raw_hybrid)
-    if gram_impl == "hybrid":
+    # measured winners composed — see gram_stream._gram_raw_hybrid).
+    # "auto" routes to it on TPU for huge layers only: the backward's
+    # HBM saving beats the custom-call relayouts once the weighted block
+    # passes ~2^27 elements (1024² conv1_1: 33.0 vs 31.9 it/s; at 512²
+    # every layer is below the bar and measured neutral-negative), and
+    # the fused forward must still fit (≤ 2^28 — above that the scan
+    # fallback owns the shape).
+    if gram_impl == "hybrid" or (
+            gram_impl == "auto" and jax.default_backend() == "tpu"
+            and (1 << 27) < h * w * k * c <= (1 << 28)):
         from .gram_stream import masked_grams_hybrid
         g_o = masked_grams_hybrid(feat_out, out_masks,
                                   compute_dtype=compute_dtype, norm=norm)
