@@ -184,3 +184,17 @@ def test_strip_taps_equivalence():
         vgg.strip_masks(masks, tap.halo, tap.own))
     np.testing.assert_allclose(np.asarray(g_strip), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_s2b_odd_width():
+    """W is untouched by the row-strip decomposition — odd widths must
+    stay exact (pools drop the trailing col identically in both paths)."""
+    import jax.numpy as jnp
+    r = np.random.default_rng(9)
+    img = jnp.asarray(r.uniform(0, 255, (256, 67, 3)), jnp.float32)
+    params = vgg.init_params(seed=0)
+    layers = ("conv1_1", "conv2_1", "conv3_1")
+    t0 = vgg.extract_features(params, img, layers)
+    t8 = vgg.extract_features(params, img, layers, s2b_strips=8)
+    for l in layers:
+        np.testing.assert_array_equal(np.asarray(t0[l]), np.asarray(t8[l]))

@@ -48,6 +48,14 @@ XLA_VARIANTS = {
     "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
     "vmem96": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
     "lhs": {"xla_tpu_enable_latency_hiding_scheduler": "true"},
+    # speculative copy/fusion knobs — unknown names 500 harmlessly;
+    # all measured neutral-or-worse vs the 134.3 default (licm2 134.5,
+    # retilic 134.2, noallswap 134.3, nocopyfuse 128.4)
+    "licm2": {"xla_tpu_licm_size_inflation_ratio": "2.0"},
+    "nocopyfuse": {"xla_tpu_copy_fusion_pad_unpad_ratio": "0"},
+    "retilic": {"xla_tpu_enable_aggressive_loop_fusion_layout_opt":
+                "true"},
+    "noallswap": {"xla_tpu_enable_dot_strength_reduction": "false"},
 }
 
 
