@@ -350,10 +350,13 @@ class StripTap:
     metadata and must stay concrete through jit boundaries.
 
     Status: validated but NOT used by the hot loop — measured 127.4 vs
-    134.3 it/s on the 512² full step (the Gram contraction grows by the
-    ~25% halo rows, which costs more than the interior-slice copies it
-    removes). Kept as an opt-in (`extract_features(strip_taps=True)`)
-    with tests, mirroring the other measured-negative lowerings.
+    134.3 it/s on the 512² full step and 33.35 vs 33.85 at 1024² (the
+    Gram contraction grows by the ~25% halo rows, which costs more than
+    the interior-slice copies it removes — even at 1024² where those
+    copies are ~2.8 ms/step, because the slice relayout largely fuses
+    with the Gram's own (P, C) relayout). Kept as an opt-in
+    (`extract_features(strip_taps=True)`) with tests, mirroring the
+    other measured-negative lowerings.
     """
 
     def __init__(self, data: jnp.ndarray, halo: int, own: int):

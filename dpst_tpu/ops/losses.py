@@ -189,7 +189,7 @@ def style_layer_loss(feat_out: jnp.ndarray,
     # fallback owns the shape).
     if gram_impl == "hybrid" or (
             gram_impl == "auto" and jax.default_backend() == "tpu"
-            and (1 << 27) < h * w * k * c <= (1 << 28)):
+            and (1 << 27) < h * w * k * c <= (3 << 27)):
         from .gram_stream import masked_grams_hybrid
         g_o = masked_grams_hybrid(feat_out, out_masks,
                                   compute_dtype=compute_dtype, norm=norm)
@@ -216,10 +216,11 @@ def style_layer_loss(feat_out: jnp.ndarray,
         return scale * jnp.sum(class_w * per_class)
 
     # fused single-matmul path unless the (P, K·C) weighted block would
-    # be huge (≳1 GB bf16, e.g. conv1_1 at 1024² with K=8) — then fall
-    # back to the memory-light per-class scan. Measured on v5e at 1024²
-    # K=4: fused 19.4 it/s vs scan 15.1 it/s — fused wins while it fits.
-    if h * w * k * c <= (1 << 28):
+    # be huge (> 805 MB bf16, e.g. conv1_1 at 1024² with K=8) — then
+    # fall back to the memory-light per-class scan. Measured on v5e at
+    # 1024² K=4: fused 19.4 it/s vs scan 15.1 it/s — fused wins while it
+    # fits; the bound covers the 1.25× strip-tap form of 1024² conv1_1.
+    if h * w * k * c <= (3 << 27):
         g_o = masked_grams_fused(feat_out, out_masks,
                                  compute_dtype=compute_dtype,
                                  norm=norm)                # (K,C,C)
