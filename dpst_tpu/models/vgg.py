@@ -290,9 +290,17 @@ def _maxpool2_bwd(pool_impl, res, g):
 
     x, y = res
     b, h2, w2, c = y.shape
-    if (b == 1 and pool_pallas.use_pallas(x.shape, pool_impl)
+    if (pool_pallas.use_pallas((1, b * x.shape[1], x.shape[2], x.shape[3]),
+                               pool_impl)
             and x.shape[1] == 2 * h2 and x.shape[2] == 2 * w2):
-        return (pool_pallas.maxpool2_bwd_pallas(x, y, g),)
+        # batch (s2b strips) folds into rows for free: strip heights are
+        # even, so 2×2 windows never straddle the fold boundary and the
+        # folded call computes exactly the per-strip gradients
+        gx = pool_pallas.maxpool2_bwd_pallas(
+            x.reshape(1, b * 2 * h2, 2 * w2, c),
+            y.reshape(1, b * h2, w2, c),
+            g.reshape(1, b * h2, w2, c))
+        return (gx.reshape(x.shape),)
     xc = x[:, : 2 * h2, : 2 * w2, :]
     mask = (xc == _upsample2(y)).astype(g.dtype)
     if pool_impl == "noties":

@@ -105,4 +105,9 @@ def use_pallas(x_shape, impl: str) -> bool:
     if impl != "pallas":
         return False
     _, h, w, c = x_shape
-    return h % 2 == 0 and w % 2 == 0 and h * w * c >= MIN_ELEMENTS
+    # full-width tiles: beyond W·C ≈ 512·64 the per-band working set
+    # blows the 16 MB scoped-VMEM stack (observed at 1024²: Mosaic
+    # rejects with a clean compile error, 19.6 M > 16 M) — the kernel
+    # would need W-tiling to go wider
+    return (h % 2 == 0 and w % 2 == 0 and h * w * c >= MIN_ELEMENTS
+            and w * c <= 512 * 64)
