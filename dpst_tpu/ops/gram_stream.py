@@ -68,18 +68,24 @@ def _pick_trw(p: int, k: int, c: int, itemsize: int) -> int:
 
 
 def use_stream(h: int, w: int, k: int, c: int, gram_impl: str) -> bool:
-    """Static routing: "stream" forces the kernel; "auto" keeps XLA.
+    """Static routing: "stream" forces the kernel; "auto" uses it on TPU
+    only ABOVE the fused path's size bound.
 
-    Measured (tools/perf_lab.py, 512² full step, v5e): 79.5 vs
-    121.1 it/s — the band dots fix the old kernel's dim-0-contraction
-    MXU problem (in-kernel matmuls are now standard (M,K)×(K,N)), but
-    the step still loses: the custom call's row-major operand constraint
-    relayouts the conv-emitter-layout taps AND the fᵀ operand / dft
-    output add full-tensor XLA transposes — the same layout tax that
-    sank pool_pallas/gram_pallas (ARCHITECTURE.md). Kept opt-in."""
+    At ordinary sizes the kernel loses to XLA's fused wide matmul
+    (512² full step: 79.5 vs 121.1 it/s — the custom call's row-major
+    operand constraint relayouts the conv-emitter-layout taps and the
+    fᵀ/dft transposes add full-tensor copies; same layout tax that sank
+    pool_pallas/gram_pallas). But once the (P, K·C) weighted block
+    exceeds the fused bound (3·2²⁷ elements, losses.style_layer_loss)
+    the XLA fallback is a per-class scan, and streaming crushes it:
+    2048² full step 6.48 vs 4.16 it/s (+56%). Unlike the hybrid (which
+    matched it there, 6.52), the stream forward never materializes the
+    block — memory-safe for arbitrarily large images."""
     if gram_impl == "stream":
         return True
-    return False
+    if gram_impl != "auto" or jax.default_backend() != "tpu":
+        return False
+    return h * w * k * c > (3 << 27)
 
 
 def _fwd_kernel(ft_ref, f_ref, m2_ref, out_ref, *, k: int):
