@@ -127,6 +127,50 @@ def masked_grams_fused_nhwc(feat: jnp.ndarray, masks: jnp.ndarray,
     return g / jnp.maximum(n, eps)[:, None, None]
 
 
+# The fused path materializes the (P, K·C) mask-weighted block; beyond
+# this bound (> 805 MB bf16, e.g. conv1_1 at 1024² with K=8 or any
+# 2048² layer) the block stops being worth storing. Measured on v5e:
+# fused 19.4 vs scan 15.1 it/s at 1024²/K=4 — fused wins while it fits.
+_FUSED_MAX_ELEMENTS = 3 << 27
+# Below this bound the custom-call layout tax beats the hybrid's HBM
+# saving (512²: hybrid 133.4 vs fused 134.3 it/s); above it the fused
+# backward's 3× block round trip dominates (1024² conv1_1: 33.0 vs
+# 31.9 it/s) — see gram_stream._gram_raw_hybrid.
+_HYBRID_MIN_ELEMENTS = 1 << 27
+
+
+def gram_route(h: int, w: int, k: int, c: int, gram_impl: str) -> str:
+    """Resolve the masked-Gram lowering for one layer shape.
+
+    Explicit impls ("stream"/"hybrid"/"pallas"/"dotg"/"xla") force their
+    lowering (with "xla" still falling back to the per-class scan above
+    _FUSED_MAX_ELEMENTS — the fused block must fit). "auto" ladders by
+    weighted-block size on TPU, each step measured (ARCHITECTURE.md):
+
+        elements = H·W·K·C      lowering            why it wins there
+        ≤ 2^27                  fused XLA wide dot  layout tax beats HBM
+        (2^27, 3·2^27]          hybrid              fused fwd + stream bwd
+        > 3·2^27                stream              scan is the alternative
+                                                    (2048²: 6.48 vs 4.16)
+
+    Off-TPU "auto" is fused-or-scan (the kernels would run interpreted).
+    """
+    from .gram_pallas import use_pallas
+    from .gram_stream import use_stream
+    size = h * w * k * c
+    if use_stream(h, w, k, c, gram_impl):
+        return "stream"
+    if gram_impl == "hybrid" or (
+            gram_impl == "auto" and jax.default_backend() == "tpu"
+            and _HYBRID_MIN_ELEMENTS < size <= _FUSED_MAX_ELEMENTS):
+        return "hybrid"
+    if use_pallas(h, w, k, c, gram_impl):
+        return "pallas"
+    if gram_impl == "dotg":
+        return "dotg"
+    return "fused" if size <= _FUSED_MAX_ELEMENTS else "scan"
+
+
 def style_layer_loss(feat_out: jnp.ndarray,
                      style_grams: jnp.ndarray,
                      out_masks: jnp.ndarray,
@@ -166,64 +210,20 @@ def style_layer_loss(feat_out: jnp.ndarray,
         class_w = coverage
         norm = "m2"
 
-    # streamed Pallas path (gram_stream.py): the (P, K·C) weighted block
-    # never leaves VMEM and every contraction is a standard (M,K)×(K,N)
-    # band dot. OPT-IN ("stream") only — measured 79.5 vs 121.1 it/s
-    # in-loop (layout tax at the custom-call boundary); "auto" keeps the
-    # fused XLA wide matmul below
-    from .gram_stream import masked_grams_stream, use_stream
-    if use_stream(h, w, k, c, gram_impl):
-        g_o = masked_grams_stream(feat_out, out_masks,
-                                  compute_dtype=compute_dtype, norm=norm)
-        d = g_o - style_grams
-        per_class = jnp.sum(d * d, axis=(1, 2))
-        return scale * jnp.sum(class_w * per_class)
-
-    # hybrid: XLA fused forward + streamed Pallas backward (the two
-    # measured winners composed — see gram_stream._gram_raw_hybrid).
-    # "auto" routes to it on TPU for huge layers only: the backward's
-    # HBM saving beats the custom-call relayouts once the weighted block
-    # passes ~2^27 elements (1024² conv1_1: 33.0 vs 31.9 it/s; at 512²
-    # every layer is below the bar and measured neutral-negative), and
-    # the fused forward must still fit (≤ 2^28 — above that the scan
-    # fallback owns the shape).
-    if gram_impl == "hybrid" or (
-            gram_impl == "auto" and jax.default_backend() == "tpu"
-            and (1 << 27) < h * w * k * c <= (3 << 27)):
-        from .gram_stream import masked_grams_hybrid
-        g_o = masked_grams_hybrid(feat_out, out_masks,
-                                  compute_dtype=compute_dtype, norm=norm)
-        d = g_o - style_grams
-        per_class = jnp.sum(d * d, axis=(1, 2))
-        return scale * jnp.sum(class_w * per_class)
-
-    # first-generation streaming kernel (dim-0 contraction; opt-in
-    # baseline — see ops/gram_pallas.py for why it lost)
-    from .gram_pallas import masked_grams_pallas, use_pallas
-    if use_pallas(h, w, k, c, gram_impl):
-        g_o = masked_grams_pallas(feat_out, out_masks,
-                                  compute_dtype=compute_dtype, norm=norm)
-        d = g_o - style_grams
-        per_class = jnp.sum(d * d, axis=(1, 2))
-        return scale * jnp.sum(class_w * per_class)
-
-    if gram_impl == "dotg":
-        g_o = masked_grams_fused_nhwc(feat_out, out_masks,
-                                      compute_dtype=compute_dtype,
-                                      norm=norm)
-        d = g_o - style_grams
-        per_class = jnp.sum(d * d, axis=(1, 2))
-        return scale * jnp.sum(class_w * per_class)
-
-    # fused single-matmul path unless the (P, K·C) weighted block would
-    # be huge (> 805 MB bf16, e.g. conv1_1 at 1024² with K=8) — then
-    # fall back to the memory-light per-class scan. Measured on v5e at
-    # 1024² K=4: fused 19.4 it/s vs scan 15.1 it/s — fused wins while it
-    # fits; the bound covers the 1.25× strip-tap form of 1024² conv1_1.
-    if h * w * k * c <= (3 << 27):
-        g_o = masked_grams_fused(feat_out, out_masks,
-                                 compute_dtype=compute_dtype,
-                                 norm=norm)                # (K,C,C)
+    route = gram_route(h, w, k, c, gram_impl)
+    if route != "scan":
+        if route == "stream":
+            from .gram_stream import masked_grams_stream as fn
+        elif route == "hybrid":
+            from .gram_stream import masked_grams_hybrid as fn
+        elif route == "pallas":
+            from .gram_pallas import masked_grams_pallas as fn
+        elif route == "dotg":
+            fn = masked_grams_fused_nhwc
+        else:
+            fn = masked_grams_fused
+        g_o = fn(feat_out, out_masks, compute_dtype=compute_dtype,
+                 norm=norm)                                # (K, C, C)
         d = g_o - style_grams
         per_class = jnp.sum(d * d, axis=(1, 2))
         return scale * jnp.sum(class_w * per_class)
