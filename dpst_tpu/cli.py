@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save in-progress images here every interval")
     g.add_argument("--loss-csv", default=None,
                    help="write the per-step loss history as CSV")
+    g.add_argument("--metrics", action="store_true",
+                   help="report SSIM/PSNR of the result vs the content "
+                        "photo (structure-preservation proxy - the DPST "
+                        "papers' photorealism axis)")
     g.add_argument("--checkpoint-dir", default=None)
     g.add_argument("--resume", action="store_true")
     g.add_argument("--profile-dir", default=None,
@@ -380,6 +384,14 @@ def main(argv=None) -> int:
     io.save_image(out, args.output)
     print(f"wrote {args.output}  ({out.shape[1]}x{out.shape[0]}, "
           f"{dt:.1f}s)")
+    if args.metrics:
+        from .ops import metrics
+        content_ref = io.load_image(args.content, out.shape[:2])
+        s_val = float(metrics.ssim(np.asarray(out), content_ref))
+        p_val = float(metrics.psnr(np.asarray(out), content_ref))
+        print(f"vs content: SSIM={s_val:.4f} PSNR={p_val:.2f} dB "
+              "(structure preservation; style transfer lowers these "
+              "by design - compare across runs, not to 1.0)")
     # --resume with a checkpoint already at/past the requested iteration
     # count yields an empty (0, 5) history — nothing to print or dump.
     if history is not None and len(history):

@@ -201,3 +201,18 @@ def test_cli_device_flag(image_files, tmp_path):
     r2 = _run_cli(["--content", c, "--style", s, "--device", "99"])
     assert r2.returncode != 0
     assert "out of range" in (r2.stderr + r2.stdout)
+
+
+def test_cli_metrics_flag(image_files):
+    c, s, d = image_files
+    out = str(d / "out_metrics.png")
+    r = _run_cli(["--content", c, "--style", s, "--output", out,
+                  "--size", "32", "--iterations", "3",
+                  "--no-segmentation", "--no-photorealism", "--metrics",
+                  "--dtype", "float32", "--no-compile-cache"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SSIM=" in r.stdout and "PSNR=" in r.stdout
+    # SSIM is in [-1, 1]; parse it back out of the report line
+    line = [l for l in r.stdout.splitlines() if "SSIM=" in l][0]
+    ssim_val = float(line.split("SSIM=")[1].split()[0])
+    assert -1.0 <= ssim_val <= 1.0
