@@ -297,9 +297,15 @@ def _run_batch_dir(args, cfg, size):
     images = np.asarray(images)
     dt = time.perf_counter() - t0
     os.makedirs(args.output, exist_ok=True)
-    for p, img in zip(paths, images):
+    for p, img, content in zip(paths, images, contents):
         out_path = os.path.join(args.output, os.path.basename(p))
         io.save_image(img, out_path)
+        if args.metrics:
+            from .ops import metrics
+            print(f"{os.path.basename(p)}: "
+                  f"SSIM={float(metrics.ssim(img, content)):.4f} "
+                  f"PSNR={float(metrics.psnr(img, content)):.2f} dB "
+                  "(vs content)")
     print(f"stylized {len(paths)} images in {dt:.1f}s "
           f"({dt / len(paths):.1f}s/image) -> {args.output}/")
     return 0

@@ -203,6 +203,23 @@ def test_cli_device_flag(image_files, tmp_path):
     assert "out of range" in (r2.stderr + r2.stdout)
 
 
+def test_cli_content_dir_metrics(image_files, tmp_path):
+    c, s_, d = image_files
+    import shutil
+    src = tmp_path / "batchsrc"
+    src.mkdir()
+    shutil.copy(c, src / "a.png")
+    shutil.copy(s_, src / "b.png")
+    outdir = str(tmp_path / "batchout")
+    r = _run_cli(["--content-dir", str(src), "--style", s_,
+                  "--output", outdir, "--size", "32", "--iterations", "3",
+                  "--no-segmentation", "--no-photorealism", "--metrics",
+                  "--dtype", "float32", "--no-compile-cache"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.count("SSIM=") == 2
+    assert os.path.exists(os.path.join(outdir, "a.png"))
+
+
 def test_cli_metrics_flag(image_files):
     c, s, d = image_files
     out = str(d / "out_metrics.png")
