@@ -68,6 +68,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "asset ($DPST_SIMILARITY_MATRIX)")
     g.add_argument("--similarity-threshold", type=float, default=0.25)
     g.add_argument("--max-classes", type=int, default=8)
+    g.add_argument("--seg-protocol", choices=("resize", "sliding"),
+                   default="resize",
+                   help="PSPNet inference protocol: 'sliding' = the "
+                        "semseg-lineage eval (aspect-preserving + 473^2 "
+                        "sliding windows + mirror; best mask quality "
+                        "with real weights), 'resize' = one 473^2 "
+                        "squash (fastest)")
+    g.add_argument("--seg-scales", type=float, nargs="*", default=None,
+                   help="multi-scale ensemble for --seg-protocol "
+                        "sliding, e.g. --seg-scales 0.75 1.0 1.25")
     g.add_argument("--content-masks", default=None,
                    help=".npy (K,H,W) mask stack overriding segmentation")
     g.add_argument("--style-masks", default=None)
@@ -83,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(guided filter; 0 = off)")
     g.add_argument("--post-smooth-eps", type=float, default=1e-4)
 
+    g = p.add_argument_group("parallelism")
+    g.add_argument("--spatial", type=int, default=0, metavar="N",
+                   help="row-shard the single image over the first N "
+                        "devices (parallel/spatial.py; the high-"
+                        "resolution regime where one chip's HBM is not "
+                        "enough). Image rows must divide N.")
+
     g = p.add_argument_group("auto-tuning (NIMA)")
     g.add_argument("--autotune", action="store_true",
                    help="choose Γ by maximizing the NIMA score")
@@ -96,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save in-progress images here every interval")
     g.add_argument("--loss-csv", default=None,
                    help="write the per-step loss history as CSV")
+    g.add_argument("--history-terms", choices=("auto", "full", "total"),
+                   default="auto",
+                   help="per-step loss detail; with lbfgs, 'full' costs "
+                        "one extra VGG forward per step (auto = full "
+                        "for adam, total for lbfgs)")
     g.add_argument("--metrics", action="store_true",
                    help="report SSIM/PSNR of the result vs the content "
                         "photo (structure-preservation proxy - the DPST "
@@ -184,6 +206,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "similarity_metric": "similarity_metric",
             "similarity_threshold": "similarity_threshold",
             "max_classes": "max_classes",
+            "seg_protocol": "seg_protocol",
             "matting_epsilon": "matting_epsilon",
             "laplacian_impl": "laplacian_impl",
             "post_smooth": "post_smooth",
@@ -193,12 +216,15 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "conv_impl": "conv_impl", "gram_impl": "gram_impl",
             "pool_impl": "pool_impl", "remat": "remat",
             "s2b_strips": "s2b_strips",
+            "history_terms": "history_terms",
         }
         for flag, field in flag_to_field.items():
             if was_set(flag):
                 overrides[field] = getattr(args, flag)
         if args.scales is not None:
             overrides["scales"] = tuple(args.scales)
+        if args.seg_scales is not None:
+            overrides["seg_scales"] = tuple(args.seg_scales)
         if args.no_segmentation:
             overrides["use_segmentation"] = False
         if args.no_photorealism:
@@ -227,6 +253,9 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         similarity_metric=args.similarity_metric,
         similarity_threshold=args.similarity_threshold,
         max_classes=args.max_classes,
+        seg_protocol=args.seg_protocol,
+        seg_scales=(tuple(args.seg_scales) if args.seg_scales
+                    else (1.0,)),
         use_photorealism=not args.no_photorealism,
         matting_epsilon=args.matting_epsilon,
         laplacian_impl=args.laplacian_impl,
@@ -243,7 +272,83 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         pool_impl=args.pool_impl,
         s2b_strips=args.s2b_strips,
         remat=args.remat,
+        history_terms=args.history_terms,
     )
+
+
+def _load_pair_and_masks(args, cfg, size):
+    """Shared single-pair input path: images at the working resolution
+    plus aligned (K, H, W) mask stacks (external .npy overrides, else
+    automatic segmentation, else uniform)."""
+    import numpy as np
+
+    from .api import _fit_masks
+    from .segmentation import uniform_masks
+    from .utils import io
+
+    content = io.load_image(args.content, size)
+    hw = content.shape[:2]
+    style = io.load_image(args.style, hw)
+    if args.content_masks or args.style_masks:
+        if not (args.content_masks and args.style_masks):
+            raise SystemExit("--content-masks and --style-masks must be "
+                             "given together (aligned class channels)")
+        cmask = _fit_masks(np.load(args.content_masks).astype(np.float32),
+                           hw)
+        smask = _fit_masks(np.load(args.style_masks).astype(np.float32),
+                           style.shape[:2])
+    elif cfg.use_segmentation:
+        from . import segmentation
+        cmask, smask, _ = segmentation.automatic_masks(content, style, cfg)
+    else:
+        cmask = uniform_masks(hw)
+        smask = uniform_masks(style.shape[:2])
+    return content, style, cmask, smask
+
+
+def _run_spatial(args, cfg, size):
+    """--spatial N: one pair with the image row-sharded over N devices
+    (the high-resolution regime — SURVEY.md §5 long-context analogue)."""
+    import jax
+    import numpy as np
+
+    from .ops import metrics
+    from .parallel.spatial import make_spatial_mesh, stylize_spatial
+    from .utils import io
+
+    n = args.spatial
+    avail = len(jax.devices())
+    if n > avail:
+        raise SystemExit(
+            f"--spatial {n}: only {avail} device(s) available")
+    content, style, cmask, smask = _load_pair_and_masks(args, cfg, size)
+    if content.shape[0] % n:
+        raise SystemExit(
+            f"--spatial {n}: image rows {content.shape[0]} must divide "
+            f"the mesh (pick --size accordingly)")
+    mesh = make_spatial_mesh(n)
+    t0 = time.perf_counter()
+    out, history = stylize_spatial(content, style, cmask, smask,
+                                   cfg=cfg, mesh=mesh)
+    out = np.asarray(out)
+    dt = time.perf_counter() - t0
+    io.save_image(out, args.output)
+    print(f"wrote {args.output}  ({out.shape[1]}x{out.shape[0]}, "
+          f"{dt:.1f}s, {n}-way row-sharded)")
+    if args.metrics:
+        print(f"vs content: SSIM={float(metrics.ssim(out, content)):.4f} "
+              f"PSNR={float(metrics.psnr(out, content)):.2f} dB")
+    history = np.asarray(history)
+    if len(history):
+        print(f"final losses: total={history[-1, 0]:.4g} "
+              f"content={history[-1, 1]:.4g} style={history[-1, 2]:.4g} "
+              f"photoreal={history[-1, 3]:.4g}")
+        if args.loss_csv:
+            np.savetxt(args.loss_csv, history, delimiter=",",
+                       header="total,content,style,photoreal,tv",
+                       comments="")
+            print(f"wrote {args.loss_csv}")
+    return 0
 
 
 def _run_batch_dir(args, cfg, size):
@@ -317,6 +422,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if not args.content and not args.content_dir:
         build_parser().error("one of --content / --content-dir is required")
+    if args.laplacian_impl == "spmd" and not args.spatial:
+        # without a row-sharded mesh the shard_map Laplacian fails at
+        # trace time with an opaque 'no ambient mesh' error (ADVICE r2)
+        build_parser().error(
+            "--laplacian-impl spmd needs a row-sharded mesh: use it "
+            "with --spatial N (library path: parallel/spatial.py)")
+    if args.spatial and (args.content_dir or args.autotune):
+        build_parser().error(
+            "--spatial shards ONE image over devices; it composes with "
+            "neither --content-dir nor --autotune (those shard over the "
+            "pair/candidate axis instead)")
     if args.content_dir:
         args.content = args.content_dir  # placate preset parsing
 
@@ -342,6 +458,9 @@ def main(argv=None) -> int:
     cfg = config_from_args(args, argv)
     size = args.size if args.size > 0 else None
 
+    if args.spatial:
+        return _run_spatial(args, cfg, size)
+
     if args.content_dir:
         if args.autotune:
             raise SystemExit(
@@ -364,9 +483,12 @@ def main(argv=None) -> int:
                                 f"iter_{step:05d}.png")
             io.save_image(np.asarray(image), path)
             terms = np.asarray(hist)[-1]
-            print(f"  step {step}: total={terms[0]:.4g} "
-                  f"content={terms[1]:.4g} style={terms[2]:.4g} "
-                  f"photoreal={terms[3]:.4g}", flush=True)
+            if np.any(terms[1:]):
+                print(f"  step {step}: total={terms[0]:.4g} "
+                      f"content={terms[1]:.4g} style={terms[2]:.4g} "
+                      f"photoreal={terms[3]:.4g}", flush=True)
+            else:
+                print(f"  step {step}: total={terms[0]:.4g}", flush=True)
 
     t0 = time.perf_counter()
     with runtime.maybe_profile(args.profile_dir or ""):
@@ -401,9 +523,18 @@ def main(argv=None) -> int:
     # --resume with a checkpoint already at/past the requested iteration
     # count yields an empty (0, 5) history — nothing to print or dump.
     if history is not None and len(history):
-        print(f"final losses: total={history[-1, 0]:.4g} "
-              f"content={history[-1, 1]:.4g} style={history[-1, 2]:.4g} "
-              f"photoreal={history[-1, 3]:.4g} tv={history[-1, 4]:.4g}")
+        if np.any(history[:, 1:]):
+            print(f"final losses: total={history[-1, 0]:.4g} "
+                  f"content={history[-1, 1]:.4g} "
+                  f"style={history[-1, 2]:.4g} "
+                  f"photoreal={history[-1, 3]:.4g} "
+                  f"tv={history[-1, 4]:.4g}")
+        else:
+            # L-BFGS with history_terms="auto" logs totals-only (the
+            # per-term row costs an extra forward per step); opt back
+            # in with --history-terms full
+            print(f"final loss: total={history[-1, 0]:.4g} "
+                  "(per-term history off; --history-terms full)")
         if args.loss_csv:
             np.savetxt(
                 args.loss_csv, np.asarray(history), delimiter=",",

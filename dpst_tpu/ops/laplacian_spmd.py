@@ -84,6 +84,16 @@ def matvec_spmd(stats: LaplacianStats, v: jnp.ndarray,
             raise ValueError(
                 f"matvec_spmd: no ambient mesh with axis {axis_name!r}; "
                 "wrap the call in jax.set_mesh(mesh) or pass mesh=")
+    n_shards = dict(mesh.shape)[axis_name]
+    local_rows = v.shape[0] // n_shards
+    if local_rows < HALO:
+        # otherwise the shard_map body fails with an opaque concat/shape
+        # error deep inside the halo exchange (ADVICE r2)
+        raise ValueError(
+            f"matvec_spmd: {v.shape[0]} rows over {n_shards} shards "
+            f"gives {local_rows} local rows < the {HALO}-row halo; use "
+            f"a smaller mesh (≤ {v.shape[0] // HALO} shards) or the XLA "
+            "stencil (laplacian_impl='xla')")
     row = lambda ndim: P(*((axis_name,) + (None,) * (ndim - 1)))
     stats_specs = LaplacianStats(*(row(f.ndim) for f in stats))
     f = jax.shard_map(

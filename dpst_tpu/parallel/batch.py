@@ -18,8 +18,9 @@ import numpy as np
 from jax.sharding import Mesh
 
 from .. import optimize
-from ..api import prepare_constants
+from ..api import _scale_schedule, prepare_constants
 from ..config import StylizeConfig
+from ..ops.resize import resize_image
 from . import mesh as mesh_lib
 
 
@@ -34,6 +35,34 @@ def prepare_batch(contents, styles, cmasks, smasks, vgg_params,
     StylizeConstants out. Sharding propagates from the inputs."""
     f = partial(_prepare_one, cfg=cfg, vgg_params=vgg_params)
     return jax.vmap(f)(contents, styles, cmasks, smasks)
+
+
+@partial(jax.jit, static_argnames=("hw", "cfg"))
+def prepare_batch_stage(contents, styles, cmasks, smasks, vgg_params,
+                        hw: tuple, cfg: StylizeConfig):
+    """One multi-scale stage's batched precompute (api._prepare_stage,
+    vmapped): resize every pair to the stage resolution and build its
+    loop constants in a single XLA program. Returns
+    (batched consts, stage contents (B, h, w, 3), style means (B, 1, 1, 3)).
+    """
+    def one(c, s, cm, sm):
+        if tuple(c.shape[:2]) != hw:
+            c = resize_image(c, hw)
+            s = resize_image(s, hw)
+            cm = jnp.clip(resize_image(cm[..., None], hw)[..., 0],
+                          0.0, 1.0)
+            sm = jnp.clip(resize_image(sm[..., None], hw)[..., 0],
+                          0.0, 1.0)
+        consts = prepare_constants(c, s, cm, sm, cfg, vgg_params)
+        return consts, c, jnp.mean(s, axis=(0, 1), keepdims=True)
+    return jax.vmap(one)(contents, styles, cmasks, smasks)
+
+
+@partial(jax.jit, static_argnames=("hw",))
+def _carry_batch(images, hw: tuple):
+    """Upsample every pair's running output between scales."""
+    return jnp.clip(jax.vmap(lambda im: resize_image(im, hw))(images),
+                    0.0, 255.0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_steps", "per_pair_weights"))
@@ -71,7 +100,10 @@ def stylize_batch(contents, styles, cmasks, smasks,
 
     contents/styles: (B, H, W, 3) float [0,255]; cmasks/smasks:
     (B, K, H, W) soft masks (use segmentation.uniform_masks per pair for
-    the unmasked case). Returns (images (B, H, W, 3), history (B, it, 5)).
+    the unmasked case). `cfg.scales` runs the same multi-scale
+    coarse-to-fine schedule as `stylize()` (per-stage batched precompute,
+    outputs upsampled between stages). Returns
+    (images (B, H, W, 3), history (B, total_iters, 5)).
     """
     cfg = cfg or StylizeConfig()
     if cfg.s2b_strips:
@@ -123,11 +155,28 @@ def stylize_batch(contents, styles, cmasks, smasks,
     weights_r = (mesh_lib.shard_batch(weights, mesh) if per_pair_weights
                  else mesh_lib.replicate(weights, mesh))
 
-    # canonicalized static keys (CLAUDE.md rule 7): precompute and loop
-    # each compile once across runs differing only in non-read fields
-    consts = prepare_batch(*batch, params_r, cfg.prepare_config())
-    images0 = jax.vmap(partial(optimize.init_image, cfg))(batch[0])
-    images, history = run_batch(
-        images0, consts, weights_r, params_r, cfg.loop_config(),
-        cfg.iterations, per_pair_weights)
+    # Multi-scale coarse-to-fine, same schedule as api.stylize
+    # (VERDICT r2 missing #3: cfg.scales used to be silently dropped
+    # here). Single-stage schedules reduce to the old direct path.
+    hw = tuple(np.asarray(contents).shape[1:3])
+    stages = _scale_schedule(cfg, hw)
+    images = None
+    hists = []
+    for h, w, iters in stages:
+        # canonicalized static keys (CLAUDE.md rule 7): precompute and
+        # loop each compile once across runs differing in non-read fields
+        consts, contents_s, style_means = prepare_batch_stage(
+            *batch, params_r, (h, w), cfg.prepare_config())
+        if images is None:
+            images = jax.vmap(
+                lambda c, m: optimize.init_image(cfg, c, m))(
+                contents_s, style_means)
+        else:
+            images = _carry_batch(images, (h, w))
+        images, hist = run_batch(
+            images, consts, weights_r, params_r, cfg.loop_config(),
+            iters, per_pair_weights)
+        hists.append(hist)
+    history = (jnp.concatenate(hists, axis=1) if len(hists) > 1
+               else hists[0])
     return images, history

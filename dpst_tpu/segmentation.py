@@ -17,19 +17,25 @@ from .ops.resize import mask_pyramid
 
 
 def segment_images(content: np.ndarray, style: np.ndarray,
-                   params=None, compute_dtype: str = "bfloat16"
+                   params=None, compute_dtype: str = "bfloat16",
+                   protocol: str = "resize",
+                   seg_scales: tuple = (1.0,)
                    ) -> tuple[np.ndarray, np.ndarray]:
     """Run PSPNet on both images → per-pixel ADE20K class maps (H, W) int32.
 
     Weights come from the bundled `.npz` if present (tools/convert_pspnet.py
     drop-in path — no network in this environment, SURVEY.md §7 risks),
-    else deterministic random init.
+    else deterministic random init. `protocol`/`seg_scales` select the
+    inference protocol (models/pspnet.segment: fast 473² squash vs the
+    semseg-lineage sliding-window eval).
     """
     from .models import pspnet
     if params is None:
         params = pspnet.get_params()
-    seg_c = pspnet.segment(params, jnp.asarray(content), compute_dtype)
-    seg_s = pspnet.segment(params, jnp.asarray(style), compute_dtype)
+    seg_c = pspnet.segment(params, jnp.asarray(content), compute_dtype,
+                           protocol=protocol, scales=seg_scales)
+    seg_s = pspnet.segment(params, jnp.asarray(style), compute_dtype,
+                           protocol=protocol, scales=seg_scales)
     return np.asarray(seg_c), np.asarray(seg_s)
 
 
@@ -66,7 +72,9 @@ def automatic_masks(content: np.ndarray, style: np.ndarray,
     aligned (K_max, H, W) mask stacks for content and style."""
     from . import semantic_merge
     seg_c, seg_s = segment_images(content, style, params,
-                                  cfg.compute_dtype)
+                                  cfg.compute_dtype,
+                                  protocol=cfg.seg_protocol,
+                                  seg_scales=cfg.seg_scales)
     merged_c, merged_s, class_ids = semantic_merge.merge_classes(
         seg_c, seg_s, metric=cfg.similarity_metric,
         threshold=cfg.similarity_threshold,

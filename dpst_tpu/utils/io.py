@@ -72,11 +72,23 @@ def _target_hw(hw: tuple[int, int], size) -> tuple[int, int]:
 
 
 def _resize_np(arr: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
-    """Bilinear resize for numpy arrays (host-side, used only at load time)."""
+    """Lanczos resize for float arrays (host-side, used only at load time).
+
+    Resizes each channel in PIL's float32 mode "F" — an array input must
+    NOT be quantized to uint8 on the way through (the old uint8
+    round-trip perturbed float pipelines even for a same-size "resize",
+    which made `stylize(array)` and the batch path disagree at step 0).
+    """
+    if tuple(arr.shape[:2]) == tuple(hw):
+        return arr.astype(np.float32)
     if _HAS_PIL:
-        img = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
-        img = img.resize((hw[1], hw[0]), Image.LANCZOS)
-        return np.asarray(img, dtype=np.float32)
+        chans = [
+            np.asarray(
+                Image.fromarray(arr[..., c].astype(np.float32), mode="F")
+                .resize((hw[1], hw[0]), Image.LANCZOS),
+                dtype=np.float32)
+            for c in range(arr.shape[-1])]
+        return np.stack(chans, axis=-1)
     # crude fallback: nearest
     h, w = arr.shape[:2]
     ys = np.linspace(0, h - 1, hw[0]).round().astype(int)

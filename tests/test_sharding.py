@@ -154,6 +154,34 @@ def test_batch_2d_mesh_matches_1d(toy_batch):
     assert shards == {(1, 12, 24, 3)}, shards
 
 
+def test_batch_multiscale_matches_sequential(toy_batch):
+    """cfg.scales through the batch path ≡ N sequential stylize() runs
+    (VERDICT r2 missing #3: the schedule used to be silently dropped)."""
+    from dpst_tpu import api
+    from dpst_tpu.models import vgg
+    from dpst_tpu.parallel import batch as pbatch
+    from dpst_tpu.parallel import mesh as mesh_lib
+
+    contents, styles, cmasks, smasks = toy_batch
+    cfg = _cfg(iterations=5, scales=(12, 24))
+    params = vgg.init_params(seed=0)
+    imgs_b, hist_b = pbatch.stylize_batch(
+        contents, styles, cmasks, smasks, cfg=cfg, vgg_params=params,
+        mesh=mesh_lib.make_mesh(4))
+    imgs_b, hist_b = np.asarray(imgs_b), np.asarray(hist_b)
+    assert imgs_b.shape == contents.shape        # final stage is native
+    assert hist_b.shape[1] == 10                 # 5 iters x 2 stages
+    for i in range(contents.shape[0]):
+        out, hist = api.stylize(
+            contents[i], styles[i], cfg, content_masks=cmasks[i],
+            style_masks=smasks[i], vgg_params=params,
+            return_history=True)
+        np.testing.assert_allclose(hist_b[i, :, 0], hist[:, 0],
+                                   rtol=1e-3, err_msg=f"pair {i}")
+        np.testing.assert_allclose(imgs_b[i], out, rtol=1e-2, atol=0.5,
+                                   err_msg=f"pair {i}")
+
+
 def test_batch_2d_mesh_indivisible_raises(toy_batch):
     from dpst_tpu.parallel import batch as pbatch
     from dpst_tpu.parallel import mesh as mesh_lib

@@ -71,6 +71,12 @@ def _with_compiler_options(opts):
 
 def main(argv):
     names = argv or list(VARIANTS)
+    unknown = [n for n in names if n not in VARIANTS
+               and n not in XLA_VARIANTS]
+    if unknown:  # fail before any work, not mid-sweep (ADVICE r2)
+        raise SystemExit(
+            f"unknown variant(s) {unknown}; known: "
+            + " ".join(sorted(list(VARIANTS) + list(XLA_VARIANTS))))
     from dpst_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     import dpst_tpu
@@ -78,25 +84,32 @@ def main(argv):
 
     from dpst_tpu import optimize
     orig_run_segment = optimize.run_segment
-    for name in names:
-        if name in XLA_VARIANTS:
-            optimize.run_segment = _with_compiler_options(XLA_VARIANTS[name])
-            kw = {}
-        else:
-            optimize.run_segment = orig_run_segment
-            kw = VARIANTS[name]
-        cfg = dpst_tpu.StylizeConfig(
-            use_segmentation=True, use_photorealism=True, max_classes=4,
-            iterations=500, compute_dtype="bfloat16", **kw)
-        try:
-            ips, t_pre, _ = _loop_rate(cfg, 512, 512)
-        except Exception as e:  # an unknown/rejected option shouldn't end the sweep
-            print(json.dumps({"variant": name, "error": str(e)[:200]}),
+    try:
+        for name in names:
+            if name in XLA_VARIANTS:
+                optimize.run_segment = _with_compiler_options(
+                    XLA_VARIANTS[name])
+                kw = {}
+            else:
+                optimize.run_segment = orig_run_segment
+                kw = VARIANTS[name]
+            cfg = dpst_tpu.StylizeConfig(
+                use_segmentation=True, use_photorealism=True,
+                max_classes=4, iterations=500,
+                compute_dtype="bfloat16", **kw)
+            try:
+                ips, t_pre, _ = _loop_rate(cfg, 512, 512)
+            except Exception as e:  # a rejected option shouldn't end the sweep
+                print(json.dumps({"variant": name, "error": str(e)[:200]}),
+                      flush=True)
+                continue
+            print(json.dumps({"variant": name, "ips": round(ips, 2),
+                              "precompute_s": round(t_pre, 2)}),
                   flush=True)
-            continue
-        print(json.dumps({"variant": name, "ips": round(ips, 2),
-                          "precompute_s": round(t_pre, 2)}), flush=True)
-    optimize.run_segment = orig_run_segment
+    finally:
+        # restore even on an uncaught mid-sweep exception — a leaked
+        # monkeypatch would silently affect later work in this process
+        optimize.run_segment = orig_run_segment
 
 
 if __name__ == "__main__":
