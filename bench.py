@@ -8,6 +8,9 @@ Emits ONE JSON line PER CONFIG (VERDICT r1 #6), headline last:
   config5  8-pair batch on this chip (B=1-equivalent throughput; DP
            scaling itself is cross-chip and exercised on the virtual
            mesh — parallel/batch.py)
+  config6  4096² full deep-photo via block-1/2 activation STREAMING
+           (vgg.stream_block12_grams) — the resolution that exceeds one
+           chip on any batch-form path (VERDICT r2 #1)
   config3  512² FULL deep-photo (content + masked style + Laplacian) —
            the tracked headline metric, printed LAST so drivers that
            parse the final line keep the round-over-round series.
@@ -31,7 +34,7 @@ import numpy as np
 # generous: a fully cold compilation cache through the remote-compile
 # tunnel costs minutes; the watchdog exists for WEDGED workers (hours),
 # not slow compiles — a false trip would record a bogus 0 for the round
-WATCHDOG_SECS = 2400
+WATCHDOG_SECS = 3000   # raised for config6's cold 4096² compiles
 
 
 def _watchdog(signum, frame):
@@ -200,6 +203,27 @@ def main():
           note="single-chip B=8; DP scaling is cross-chip "
                "(parallel/batch.py, virtual-mesh tested)",
           backend=backend)
+
+    # --- config 6: 4096² full deep-photo, block-1/2 streaming -------------
+    # the max-single-chip-resolution datum (VERDICT r2 #1): the standard
+    # path is rejected at allocation above 3072² (19.3 G needed of
+    # 15.75 G); the streamed loop compiles at ~8.7 G and runs.
+    try:
+        cfg6 = dpst_tpu.StylizeConfig(
+            use_segmentation=True, use_photorealism=True, max_classes=4,
+            iterations=500, compute_dtype="bfloat16")
+        ips, t_pre, _ = _loop_rate(cfg6, 4096, 4096, timed=10)
+        _emit("config6",
+              "iters/sec @ 4096x4096 full deep-photo, streamed blocks "
+              "1-2 (1 chip)", ips, "iters/sec", 500.0 / ips + t_pre,
+              precompute_s=t_pre, backend=backend,
+              note="64-strip lax.scan streaming "
+                   "(vgg.stream_block12_grams); standard path OOMs")
+    except Exception as e:  # never lose the headline line to config6
+        print(json.dumps({"metric": "config6 4096x4096 streamed",
+                          "value": 0.0, "unit": "iters/sec",
+                          "vs_baseline": 0.0, "config": "config6",
+                          "error": str(e)[:300]}), flush=True)
 
     # --- config 3 (headline, LAST): 512² full deep-photo ------------------
     cfg3 = dpst_tpu.StylizeConfig(

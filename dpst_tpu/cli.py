@@ -140,6 +140,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="manual space-to-batch of VGG blocks 1-2: -1 "
                         "auto (64-row strips on TPU at >=512^2 images), "
                         "0 off, N strips")
+    g.add_argument("--stream12", type=int, default=-1,
+                   help="stream VGG blocks 1-2 strip-by-strip (the "
+                        ">=3072^2 single-chip memory path): -1 auto, "
+                        "0 off, N strips")
     g.add_argument("--pool-impl",
                    choices=("auto", "pallas", "xla", "noties", "postact"),
                    default="auto", help="max-pool backward backend")
@@ -216,6 +220,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "conv_impl": "conv_impl", "gram_impl": "gram_impl",
             "pool_impl": "pool_impl", "remat": "remat",
             "s2b_strips": "s2b_strips",
+            "stream12": "stream12",
             "history_terms": "history_terms",
         }
         for flag, field in flag_to_field.items():
@@ -271,6 +276,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         gram_impl=args.gram_impl,
         pool_impl=args.pool_impl,
         s2b_strips=args.s2b_strips,
+        stream12=args.stream12,
         remat=args.remat,
         history_terms=args.history_terms,
     )

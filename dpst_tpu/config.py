@@ -81,6 +81,14 @@ class StylizeConfig:
     # redundant conv FLOPs in those blocks (512² full step: 135.2 vs
     # 121.5 it/s). Exact: strip interiors are the undecomposed values.
     s2b_strips: int = -1
+    # Block-1/2 activation STREAMING (models/vgg.stream_block12_grams):
+    # the single-chip path for ≥3072²-class images, where block-1/2
+    # activations exceed HBM in any batch-form decomposition. Blocks 1-2
+    # run strip-by-strip inside a checkpointed lax.scan that emits only
+    # the masked-Gram sums of their style taps + the pool2 tensor.
+    # -1 = auto (64-row strips on TPU at ≥3072²-class images, off
+    # elsewhere); 0 = off; N = strip count.
+    stream12: int = -1
     # "none" | "full" | "block1" | "block12": jax.checkpoint the loss —
     # the backward recomputes (all | block-1 | block-1+2) VGG activations
     # instead of storing residuals (trades MXU FLOPs for the HBM-bound
@@ -192,6 +200,9 @@ class StylizeConfig:
             # strip slicing along the row axis would gather across
             # shards; XLA's own rewrite partitions correctly instead
             s2b_strips=0,
+            # the strip scan's slices likewise; row-sharded meshes are
+            # the multi-chip answer to the same memory regime
+            stream12=0,
         )
 
     def prepare_config(self) -> "StylizeConfig":
@@ -213,7 +224,7 @@ class StylizeConfig:
             clip_pixels=True, seed=0,
             scales=(), scale_iter_factor=1.0,
             style_layer_weights=(1.0,) * len(self.style_layers),
-            remat="none", s2b_strips=0, history_terms="auto",
+            remat="none", s2b_strips=0, stream12=0, history_terms="auto",
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             seg_protocol="resize", seg_scales=(1.0,),
@@ -252,6 +263,12 @@ class StylizeConfig:
             raise ValueError(
                 f"s2b_strips must be -1 (auto), 0 (off) or a strip "
                 f"count, got {self.s2b_strips}")
+        if self.stream12 < -1:
+            raise ValueError(
+                f"stream12 must be -1 (auto), 0 (off) or a strip count, "
+                f"got {self.stream12}")
+        if self.stream12 == 1:
+            object.__setattr__(self, "stream12", 0)  # 1 strip = no-op
         if self.s2b_strips == 1:
             # one strip is a no-op (vgg._s2b_enabled treats <=1 as off)
             # but would mint a distinct jit static key for the identical

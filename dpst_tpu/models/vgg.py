@@ -592,3 +592,204 @@ def layer_downsample_factor(layer: str) -> int:
     """Spatial stride of `layer` relative to the input (for mask pyramids)."""
     block = int(layer[4])
     return 2 ** (block - 1)
+
+
+# --- block-1/2 activation streaming (the ≥3072²-class single-chip path) --
+
+
+def stream12_strips(stream12: int, h: int, w: int) -> int:
+    """Resolve the block-1/2 streaming strip count.
+
+    -1 = auto: stream on TPU for images ABOVE 3072²-class — the regime
+    where block-1/2 activations break one chip's HBM no matter how the
+    batch decomposition or remat is configured (measured at 4096²:
+    19.3 G needed of 15.75 G, dominated by 8 GB batch-1 block-1 buffers
+    with 4× tile-padding expansion; every batch-form variant is
+    rejected at allocation. 3072² still fits the standard path at
+    14.3 G — ARCHITECTURE.md round 3). 0 = off; N = strip count.
+    """
+    if stream12 != -1:
+        return stream12
+    if jax.default_backend() != "tpu" or h % 64 or h * w <= 3072 * 3072:
+        return 0
+    return h // 64
+
+
+def stream12_compatible(layers, strips: int, image_shape) -> bool:
+    """Streaming covers taps in blocks 1-2 ONLY as masked Grams; any
+    full-tensor tap (content layer) there forces the standard path."""
+    if strips <= 1 or len(image_shape) != 3:
+        return False
+    h, w, _ = image_shape
+    hs = h // strips
+    return (h % strips == 0 and hs % 4 == 0 and hs >= 4 * _S2B_HALO
+            and w % 4 == 0
+            and max(LAYER_ORDER.index(l) for l in layers)
+            > LAYER_ORDER.index("pool2"))
+
+
+_B12_ORDER = ("conv1_1", "conv1_2", "pool1", "conv2_1", "conv2_2", "pool2")
+
+
+@partial(jax.jit, static_argnames=("strips", "gram_layers", "pooling",
+                                   "compute_dtype", "pool_impl"))
+def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
+                         *, strips: int,
+                         gram_layers: tuple[str, ...],
+                         pooling: str = "max",
+                         compute_dtype: str = "float32",
+                         pool_impl: str = "auto"):
+    """Blocks 1-2 as a strip-streamed `lax.scan` — activations never
+    materialize at full resolution.
+
+    The loss needs blocks 1-2 only through (a) the masked Grams of their
+    style taps and (b) the pool2 output that feeds block 3. Both are
+    row-separable: Grams are sums over pixels, and a strip with an 8-row
+    halo computes its pool2 rows exactly (same validity chain as the
+    batch-form s2b decomposition — `_S2B_HALO`). So the scan body (one
+    strip: conv1_1..pool2 + partial Gram contractions), wrapped in
+    `jax.checkpoint`, runs S strips sequentially; the backward re-runs
+    one strip at a time. Peak block-1/2 memory drops from O(H·W·64) to
+    O((H/S)·W·64) — at 4096² with 64 strips: ~42 MB instead of 2.5 GB+.
+
+    Edge semantics match the undecomposed network exactly the way the
+    batch path does: activation rows beyond the global image are
+    re-zeroed after every conv (the reference zero-pads ACTIVATIONS, but
+    an out-of-image halo row holds relu(bias) ≠ 0); the even halo keeps
+    pool windows from straddling the boundary.
+
+    masks: {layer: (K, h_l, w_l)} content masks for `gram_layers`.
+    Returns ({layer: (K, C, C) fp32 UNNORMALIZED Gram sums — divide by
+    Σm² (or Σm) of the full mask}, pool2 activation (1, H/4, W/4, 128)).
+    """
+    cdt = jnp.dtype(compute_dtype)
+    h, w = image.shape[:2]
+    hs = h // strips
+    halo0 = _S2B_HALO
+    p_imp = "xla" if pool_impl == "pallas" else pool_impl
+
+    # preprocess BEFORE padding: the zero halo rows beyond the global
+    # image must be zero in PREPROCESSED space (the batch s2b path pads
+    # the preprocessed image too) — padding raw pixels would make them
+    # -mean after per-strip preprocessing
+    xp = jnp.pad(_preprocess_noflip(image.astype(jnp.float32)),
+                 ((halo0, halo0), (0, 0), (0, 0)))
+    xs = jnp.stack([
+        jax.lax.slice_in_dim(xp, i * hs, i * hs + hs + 2 * halo0, axis=0)
+        for i in range(strips)])                 # (S, hs+16, W, 3)
+    mstacks = {}
+    for layer in gram_layers:
+        f = layer_downsample_factor(layer)
+        m = jnp.asarray(masks[layer])            # (K, h/f, w/f)
+        k = m.shape[0]
+        mstacks[layer] = m.reshape(
+            k, strips, hs // f, w // f).transpose(1, 0, 2, 3)
+
+    def strip_fwd(xs_i, ms_i, idx):
+        x = xs_i.astype(cdt)[None]       # already preprocessed (above)
+        halo, own = halo0, hs
+        grams = {}
+        for name in _B12_ORDER:
+            if name.startswith("pool"):
+                x = _pool(x, pooling, p_imp)
+                halo //= 2
+                own //= 2
+                continue
+            p = params[name]
+            wgt = p["w"]
+            if name == "conv1_1":
+                wgt = wgt[:, :, ::-1, :]   # BGR fold (_preprocess_noflip)
+            x = jax.lax.conv_general_dilated(
+                x, wgt.astype(cdt), (1, 1), "SAME",
+                dimension_numbers=_DN, preferred_element_type=cdt)
+            x = jnp.maximum(x + p["b"].astype(cdt), 0.0)
+            rows = x.shape[1]
+            gi = idx * own + jnp.arange(rows) - halo
+            ok = ((gi >= 0) & (gi < own * strips)).astype(x.dtype)
+            x = x * ok[None, :, None, None]
+            if name in gram_layers:
+                f = x[0, halo:halo + own]        # (own, w_l, C)
+                c_l = f.shape[-1]
+                f2 = f.reshape(own * f.shape[1], c_l)
+                m = ms_i[name]                   # (K, own, w_l)
+                # numerator is m²-weighted for BOTH norms ((m∘F)ᵀ(m∘F));
+                # the norm choice only changes the external divisor
+                m2 = (m * m).astype(cdt).reshape(m.shape[0], -1)
+                fw = (f2[:, None, :] * m2.T[:, :, None]).reshape(
+                    f2.shape[0], -1)
+                g = jnp.dot(f2.T, fw, preferred_element_type=jnp.float32)
+                grams[name] = g.reshape(
+                    c_l, m.shape[0], c_l).transpose(1, 0, 2)
+            x = x.astype(cdt)
+        return grams, x[0, halo:halo + own]      # pool2 rows (hs/4,w/4,128)
+
+    ckpt_body = jax.checkpoint(strip_fwd)
+
+    def scan_body(carry, inp):
+        xs_i, ms_i, idx = inp
+        g, p2 = ckpt_body(xs_i, ms_i, idx)
+        return {l: carry[l] + g[l] for l in carry}, p2
+
+    k_by_layer = {l: mstacks[l].shape[1] for l in gram_layers}
+    carry0 = {l: jnp.zeros(
+        (k_by_layer[l], CONV_SHAPES[l][1], CONV_SHAPES[l][1]),
+        jnp.float32) for l in gram_layers}
+    carry, pool2 = jax.lax.scan(
+        scan_body, carry0,
+        (xs, mstacks, jnp.arange(strips)))
+    pool2 = pool2.reshape(1, h // 4, w // 4, pool2.shape[-1])
+    return carry, pool2
+
+
+@partial(jax.jit, static_argnames=("layers", "pooling", "compute_dtype",
+                                   "conv_impl", "pool_impl",
+                                   "start_after"))
+def extract_tail(params: dict, x: jnp.ndarray, layers: tuple[str, ...],
+                 pooling: str = "max", compute_dtype: str = "float32",
+                 conv_impl: str = "auto", pool_impl: str = "auto",
+                 start_after: str = "pool2") -> dict:
+    """Run the VGG stack from the activation AFTER `start_after` to the
+    deepest requested tap (the continuation of `stream_block12_grams`).
+
+    x: (1, h, w, C) activation emitted by `start_after`. Same epilogue
+    structure as extract_features (incl. the postact deferral) minus the
+    strip machinery — block-3+ tensors are small enough not to need it.
+    Returns {layer: (h_l, w_l, C_l)} squeezed taps.
+    """
+    cdt = jnp.dtype(compute_dtype)
+    x = x.astype(cdt)
+    start = LAYER_ORDER.index(start_after) + 1
+    deepest = max(LAYER_ORDER.index(l) for l in layers)
+    if min(LAYER_ORDER.index(l) for l in layers) < start:
+        raise ValueError(f"extract_tail: tap before {start_after}")
+    taps = {}
+    pending_bias = None
+    for idx in range(start, deepest + 1):
+        name = LAYER_ORDER[idx]
+        if name.startswith("pool"):
+            x = _pool(x, pooling, pool_impl)
+            if pending_bias is not None:
+                x = jnp.maximum(x + pending_bias, 0.0)
+                pending_bias = None
+            x = checkpoint_name(x, f"vgg_block{name[4]}")
+            continue
+        p = params[name]
+        if _use_pallas_conv(conv_impl, x.shape[2], x.shape[3]):
+            x = _pallas_conv(x, p["w"].astype(cdt))
+        elif conv_impl == "flipvjp":
+            x = _conv_flipvjp(x, p["w"].astype(cdt))
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, p["w"].astype(cdt), (1, 1), "SAME",
+                dimension_numbers=_DN, preferred_element_type=cdt)
+        if (pool_impl in ("auto", "postact") and pooling == "max"
+                and name not in layers and idx + 1 <= deepest
+                and LAYER_ORDER[idx + 1].startswith("pool")):
+            pending_bias = p["b"].astype(cdt)
+            continue
+        x = x + p["b"].astype(cdt)
+        x = jnp.maximum(x, 0.0)
+        x = checkpoint_name(x, f"vgg_block{name[4]}")
+        if name in layers:
+            taps[name] = x[0]
+    return taps

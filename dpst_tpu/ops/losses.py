@@ -171,13 +171,14 @@ def gram_route(h: int, w: int, k: int, c: int, gram_impl: str) -> str:
     return "fused" if size <= _FUSED_MAX_ELEMENTS else "scan"
 
 
-def style_layer_loss(feat_out: jnp.ndarray,
+def style_layer_loss(feat_out: jnp.ndarray | None,
                      style_grams: jnp.ndarray,
                      out_masks: jnp.ndarray,
                      coverage: jnp.ndarray,
                      compute_dtype: str | jnp.dtype = "float32",
                      style_norm: str = "gatys",
-                     gram_impl: str = "auto") -> jnp.ndarray:
+                     gram_impl: str = "auto",
+                     g_out: jnp.ndarray | None = None) -> jnp.ndarray:
     """Masked Gram style loss for one VGG layer, summed over classes.
 
     feat_out:    (H, W, C) output-image features at this layer.
@@ -198,8 +199,12 @@ def style_layer_loss(feat_out: jnp.ndarray,
     arXiv:1703.07511 eqs. 3-4): per class, ½ Σ (ΔG)² with Σm-normalized
     Grams (the 1/(2 N_{l,c}²) per-class scale with each Gram normalized
     by its own region size) and NO coverage reweighting.
+
+    g_out: (K, C, C) PRE-NORMALIZED output Grams computed elsewhere
+    (the block-1/2 streaming path, vgg.stream_block12_grams) — skips
+    the Gram contraction here; feat_out may then be None.
     """
-    h, w, c = feat_out.shape
+    c = style_grams.shape[-1]
     k = out_masks.shape[0]
     if style_norm == "paper":
         scale = 0.5
@@ -210,6 +215,12 @@ def style_layer_loss(feat_out: jnp.ndarray,
         class_w = coverage
         norm = "m2"
 
+    if g_out is not None:
+        d = g_out - style_grams
+        per_class = jnp.sum(d * d, axis=(1, 2))
+        return scale * jnp.sum(class_w * per_class)
+
+    h, w, c = feat_out.shape
     route = gram_route(h, w, k, c, gram_impl)
     if route != "scan":
         if route == "stream":
@@ -246,13 +257,25 @@ def style_loss(feats_out: dict, style_grams: dict, out_masks: dict,
                coverage: jnp.ndarray, layer_weights: dict,
                compute_dtype: str | jnp.dtype = "float32",
                style_norm: str = "gatys",
-               gram_impl: str = "auto") -> jnp.ndarray:
-    """Sum of per-layer masked style losses, weighted per layer."""
+               gram_impl: str = "auto",
+               g_out: dict | None = None) -> jnp.ndarray:
+    """Sum of per-layer masked style losses, weighted per layer.
+
+    `g_out`: optional {layer: (K, C, C) pre-normalized output Grams} for
+    layers whose Grams were streamed (vgg.stream_block12_grams); those
+    layers need no tap in `feats_out`.
+    """
     total = jnp.float32(0.0)
     for layer, w in layer_weights.items():
-        total = total + w * style_layer_loss(
-            feats_out[layer], style_grams[layer], out_masks[layer],
-            coverage, compute_dtype, style_norm, gram_impl)
+        if g_out is not None and layer in g_out:
+            total = total + w * style_layer_loss(
+                None, style_grams[layer], out_masks[layer], coverage,
+                compute_dtype, style_norm, gram_impl,
+                g_out=g_out[layer])
+        else:
+            total = total + w * style_layer_loss(
+                feats_out[layer], style_grams[layer], out_masks[layer],
+                coverage, compute_dtype, style_norm, gram_impl)
     return total
 
 

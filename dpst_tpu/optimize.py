@@ -62,18 +62,49 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
     """
     style_lw = dict(zip(cfg.style_layers, cfg.style_layer_weights))
     all_layers = tuple(dict.fromkeys(cfg.style_layers + cfg.content_layers))
+    _p2 = vgg.LAYER_ORDER.index("pool2")
+    b12_layers = tuple(l for l in all_layers
+                       if vgg.LAYER_ORDER.index(l) < _p2)
+    deep_layers = tuple(l for l in all_layers if l not in b12_layers)
+    gram_norm = "m1" if cfg.style_norm == "paper" else "m2"
 
     def loss_fn(image: jnp.ndarray, consts: StylizeConstants,
                 weights: LossWeights, vgg_params: dict):
-        # strip_taps=False: feeding the Gram the raw strip tensors with
-        # halo-zeroed masks (vgg.StripTap / strip_masks) measured 127.4
-        # vs 134.3 it/s — the +25% wider contraction costs more than the
-        # interior-slice copies it removes. Plain taps are the winner.
-        feats = vgg.extract_features(
-            vgg_params, image, all_layers,
-            pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
-            conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
-            s2b_strips=cfg.s2b_strips)
+        strips = vgg.stream12_strips(cfg.stream12, *image.shape[:2])
+        g_out = None
+        if (vgg.stream12_compatible(all_layers, strips, image.shape)
+                and all(l in cfg.style_layers
+                        and l not in cfg.content_layers
+                        for l in b12_layers)):
+            # ≥3072²-class single-chip path: blocks 1-2 stream strip-by-
+            # strip (checkpointed scan) emitting their style Grams + the
+            # pool2 tensor; block-1/2 activations never materialize.
+            gsums, x_p2 = vgg.stream_block12_grams(
+                vgg_params, image,
+                {l: consts.masks[l] for l in b12_layers},
+                strips=strips, gram_layers=b12_layers,
+                pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
+                pool_impl=cfg.pool_impl)
+            g_out = {}
+            for l in b12_layers:
+                m = consts.masks[l].astype(jnp.float32)
+                n = (jnp.sum(m * m, axis=(1, 2)) if gram_norm == "m2"
+                     else jnp.sum(m, axis=(1, 2)))
+                g_out[l] = gsums[l] / jnp.maximum(n, 1e-8)[:, None, None]
+            feats = vgg.extract_tail(
+                vgg_params, x_p2, deep_layers,
+                pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
+                conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl)
+        else:
+            # strip_taps=False: feeding the Gram the raw strip tensors
+            # with halo-zeroed masks (vgg.StripTap / strip_masks)
+            # measured 127.4 vs 134.3 it/s — the +25% wider contraction
+            # costs more than the interior-slice copies it removes.
+            feats = vgg.extract_features(
+                vgg_params, image, all_layers,
+                pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
+                conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
+                s2b_strips=cfg.s2b_strips)
 
         l_content = jnp.float32(0.0)
         for layer in cfg.content_layers:
@@ -83,7 +114,8 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
         l_style = losses.style_loss(
             feats, consts.style_grams, consts.masks, consts.coverage,
             style_lw, compute_dtype=cfg.compute_dtype,
-            style_norm=cfg.style_norm, gram_impl=cfg.gram_impl)
+            style_norm=cfg.style_norm, gram_impl=cfg.gram_impl,
+            g_out=g_out)
 
         if cfg.use_photorealism and consts.lap_stats is not None:
             l_reg = lap.photoreal_loss(

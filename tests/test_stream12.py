@@ -1,0 +1,120 @@
+"""Block-1/2 activation streaming (vgg.stream_block12_grams) — the
+≥3072²-class single-chip memory path (VERDICT r2 missing #5): the
+strip-streamed loss must equal the standard full-tensor loss in VALUE
+and GRADIENT, because it is the same math in a different schedule."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dpst_tpu import StylizeConfig, optimize, prepare_constants
+from dpst_tpu.models import vgg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    r = np.random.default_rng(17)
+    h = w = 96
+    content = r.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    masks = np.zeros((2, h, w), np.float32)
+    masks[0, :48] = 1.0
+    masks[1, 48:] = 1.0
+    params = vgg.init_params(seed=0)
+    cfg = StylizeConfig(use_segmentation=True, use_photorealism=True,
+                        laplacian_impl="xla", compute_dtype="float32",
+                        max_classes=2, iterations=4, stream12=0)
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(masks),
+        jnp.asarray(masks.copy()), cfg, params)
+    weights = optimize.LossWeights.from_config(cfg)
+    return content, cfg, consts, weights, params
+
+
+def _value_grad(cfg, image, consts, weights, params):
+    fn = optimize.make_loss_fn(cfg.loop_config())
+    (total, terms), g = jax.value_and_grad(fn, has_aux=True)(
+        jnp.asarray(image), consts, weights, params)
+    return np.asarray(total), np.asarray(terms), np.asarray(g)
+
+
+def test_stream12_loss_and_grad_match_standard(setup):
+    content, cfg, consts, weights, params = setup
+    t0, terms0, g0 = _value_grad(cfg, content, consts, weights, params)
+    cfg_s = dataclasses.replace(cfg, stream12=3)   # 32-row strips
+    t1, terms1, g1 = _value_grad(cfg_s, content, consts, weights, params)
+    np.testing.assert_allclose(t1, t0, rtol=1e-5)
+    np.testing.assert_allclose(terms1, terms0, rtol=1e-5)
+    np.testing.assert_allclose(g1, g0, rtol=1e-3, atol=1e-6 * np.abs(
+        g0).max())
+
+
+def test_stream12_paper_norm(setup):
+    """m1 (paper) normalization streams too — the numerator is shared,
+    only the divisor changes."""
+    content, cfg, consts0, weights, params = setup
+    cfg_p = dataclasses.replace(cfg, style_norm="paper")
+    half = np.zeros((2, 96, 96), np.float32)
+    half[0, :, :48] = 1.0
+    half[1, :, 48:] = 1.0
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(content[::-1].copy()),
+        jnp.asarray(half), jnp.asarray(half.copy()), cfg_p, params)
+    t0, _, g0 = _value_grad(cfg_p, content, consts, weights, params)
+    cfg_s = dataclasses.replace(cfg_p, stream12=3)
+    t1, _, g1 = _value_grad(cfg_s, content, consts, weights, params)
+    np.testing.assert_allclose(t1, t0, rtol=1e-5)
+    np.testing.assert_allclose(g1, g0, rtol=1e-3,
+                               atol=1e-6 * np.abs(g0).max())
+
+
+def test_stream12_optimization_trajectory(setup):
+    """A short optimization run through run_segment matches the standard
+    path (same math end to end, including the scan-of-scans backward)."""
+    content, cfg, consts, weights, params = setup
+    outs = {}
+    for name, c in (("std", cfg),
+                    ("stream", dataclasses.replace(cfg, stream12=3))):
+        lc = c.loop_config()
+        opt = optimize.make_optimizer(lc)
+        img0 = optimize.init_image(c, jnp.asarray(content))
+        st = optimize.init_opt_state(opt, lc, img0)
+        img, _, hist = optimize.run_segment(
+            img0, st, consts, weights, params, n_steps=4, cfg=lc)
+        outs[name] = (np.asarray(img), np.asarray(hist))
+    np.testing.assert_allclose(outs["stream"][1][:, 0],
+                               outs["std"][1][:, 0], rtol=1e-4)
+    np.testing.assert_allclose(outs["stream"][0], outs["std"][0],
+                               rtol=1e-2, atol=0.5)
+
+
+def test_stream12_incompatible_falls_back(setup):
+    """A content tap inside blocks 1-2 cannot stream (needs the full
+    tensor) — the loss builder must silently use the standard path and
+    still produce the identical value."""
+    content, cfg, _, weights, params = setup
+    cfg_c = dataclasses.replace(cfg, content_layers=("conv2_2", "conv4_2"),
+                                use_photorealism=False)
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(content[::-1].copy()),
+        jnp.asarray(np.ones((2, 96, 96), np.float32) * [[[1]], [[0]]]),
+        jnp.asarray(np.ones((2, 96, 96), np.float32) * [[[1]], [[0]]]),
+        cfg_c, params)
+    t0, _, _ = _value_grad(cfg_c, content, consts, weights, params)
+    t1, _, _ = _value_grad(dataclasses.replace(cfg_c, stream12=3),
+                           content, consts, weights, params)
+    np.testing.assert_allclose(t1, t0, rtol=1e-6)
+
+
+def test_stream12_config_canonicalization():
+    assert StylizeConfig(stream12=1) == StylizeConfig(stream12=0)
+    with pytest.raises(ValueError, match="stream12"):
+        StylizeConfig(stream12=-2)
+    # sharded entry points disable the strip scan
+    assert StylizeConfig(stream12=8).spmd_safe().stream12 == 0
+    # precompute doesn't read it
+    assert (StylizeConfig(stream12=8).prepare_config()
+            == StylizeConfig(stream12=0).prepare_config())

@@ -27,9 +27,13 @@ def run_traced(steps: int, outdir: str) -> None:
     from dpst_tpu import optimize, prepare_constants
     from dpst_tpu.models import vgg
 
-    cfg = dpst_tpu.StylizeConfig(
-        use_segmentation=True, use_photorealism=True, max_classes=4,
-        iterations=500, compute_dtype="bfloat16")
+    # config overrides via env, e.g. DPST_TRACE_KW='{"use_photorealism":
+    # false}' traces the config2 (no-Laplacian) program instead
+    kw = json.loads(os.environ.get("DPST_TRACE_KW", "{}"))
+    base = dict(use_segmentation=True, use_photorealism=True,
+                max_classes=4, iterations=500, compute_dtype="bfloat16")
+    base.update(kw)
+    cfg = dpst_tpu.StylizeConfig(**base)
     content, style = _pair(512, 512)
     cmask = _masks(4, 512, 512)
     vgg_params = vgg.get_params(seed=0)
