@@ -89,6 +89,14 @@ class StylizeConfig:
     # -1 = auto (64-row strips on TPU at ≥3072²-class images, off
     # elsewhere); 0 = off; N = strip count.
     stream12: int = -1
+    # Lowering of the streamed blocks 1-2 when stream12 is active:
+    # "scan" = checkpointed lax.scan of XLA convs (the memory path);
+    # "pallas" = fused whole-block kernel (ops/block12_pallas.py) —
+    # activations stay in VMEM, C-major layouts, in-kernel Grams; the
+    # round-3 conv-perf campaign lowering. Falls back to "scan" when
+    # the kernel's gates don't hold (non-default block-1/2 taps, odd
+    # widths).
+    stream12_impl: str = "scan"
     # "none" | "full" | "block1" | "block12": jax.checkpoint the loss —
     # the backward recomputes (all | block-1 | block-1+2) VGG activations
     # instead of storing residuals (trades MXU FLOPs for the HBM-bound
@@ -202,7 +210,7 @@ class StylizeConfig:
             s2b_strips=0,
             # the strip scan's slices likewise; row-sharded meshes are
             # the multi-chip answer to the same memory regime
-            stream12=0,
+            stream12=0, stream12_impl="scan",
         )
 
     def prepare_config(self) -> "StylizeConfig":
@@ -224,7 +232,8 @@ class StylizeConfig:
             clip_pixels=True, seed=0,
             scales=(), scale_iter_factor=1.0,
             style_layer_weights=(1.0,) * len(self.style_layers),
-            remat="none", s2b_strips=0, stream12=0, history_terms="auto",
+            remat="none", s2b_strips=0, stream12=0,
+            stream12_impl="scan", history_terms="auto",
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             seg_protocol="resize", seg_scales=(1.0,),
@@ -269,6 +278,9 @@ class StylizeConfig:
                 f"got {self.stream12}")
         if self.stream12 == 1:
             object.__setattr__(self, "stream12", 0)  # 1 strip = no-op
+        if self.stream12_impl not in ("scan", "pallas"):
+            raise ValueError(
+                f"unknown stream12_impl {self.stream12_impl!r}")
         if self.s2b_strips == 1:
             # one strip is a no-op (vgg._s2b_enabled treats <=1 as off)
             # but would mint a distinct jit static key for the identical

@@ -76,15 +76,40 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                 and all(l in cfg.style_layers
                         and l not in cfg.content_layers
                         for l in b12_layers)):
-            # ≥3072²-class single-chip path: blocks 1-2 stream strip-by-
-            # strip (checkpointed scan) emitting their style Grams + the
-            # pool2 tensor; block-1/2 activations never materialize.
-            gsums, x_p2 = vgg.stream_block12_grams(
-                vgg_params, image,
-                {l: consts.masks[l] for l in b12_layers},
-                strips=strips, gram_layers=b12_layers,
-                pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
-                pool_impl=cfg.pool_impl)
+            # Blocks 1-2 stream as Grams + pool2, activations never
+            # materializing at full resolution: "scan" = checkpointed
+            # lax.scan of strips (the ≥3072² memory path); "pallas" =
+            # the fused whole-block kernel (VMEM-resident, C-major —
+            # the round-3 conv campaign lowering).
+            h_img, w_img = image.shape[:2]
+            # W ≥ 256-multiple keeps every in-kernel level at ≥128
+            # lanes — Mosaic rejects the sublane↔lane merges the
+            # C-major matmuls need on padded (<128) lane tiles
+            use_kernel = (
+                cfg.stream12_impl == "pallas"
+                and b12_layers == ("conv1_1", "conv2_1")
+                and w_img % 256 == 0 and h_img % 32 == 0)
+            if use_kernel:
+                from .ops import block12_pallas as b12k
+                fused = b12k.make_block12_fused(
+                    pooling=cfg.pooling,
+                    compute_dtype=cfg.compute_dtype)
+                wts = b12k.pack_weights(vgg_params, cfg.compute_dtype)
+                m1 = consts.masks["conv1_1"]
+                m2 = consts.masks["conv2_1"]
+                g1s, g2s, p2c = fused(
+                    vgg._preprocess_noflip(image.astype(jnp.float32)),
+                    m1 * m1, m2 * m2, wts)
+                gsums = {"conv1_1": g1s, "conv2_1": g2s}
+                x_p2 = p2c.transpose(1, 2, 0)[None]
+            else:
+                gsums, x_p2 = vgg.stream_block12_grams(
+                    vgg_params, image,
+                    {l: consts.masks[l] for l in b12_layers},
+                    strips=strips, gram_layers=b12_layers,
+                    pooling=cfg.pooling,
+                    compute_dtype=cfg.compute_dtype,
+                    pool_impl=cfg.pool_impl)
             g_out = {}
             for l in b12_layers:
                 m = consts.masks[l].astype(jnp.float32)

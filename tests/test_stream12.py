@@ -109,6 +109,57 @@ def test_stream12_incompatible_falls_back(setup):
     np.testing.assert_allclose(t1, t0, rtol=1e-6)
 
 
+def test_stream12_pallas_kernel_full_loss(setup):
+    """stream12_impl="pallas" (the fused block-1/2 kernel,
+    ops/block12_pallas.py) must reproduce the standard path's loss AND
+    gradient — same contract as the scan lowering. 128² so the kernel's
+    width/tile gates (W%128, H%32) hold; interpret mode off-TPU."""
+    r = np.random.default_rng(23)
+    h = w = 128
+    content = r.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    masks = np.zeros((2, h, w), np.float32)
+    masks[0, :, :64] = 1.0
+    masks[1, :, 64:] = 1.0
+    params = vgg.init_params(seed=0)
+    cfg = StylizeConfig(use_segmentation=True, use_photorealism=True,
+                        laplacian_impl="xla", compute_dtype="float32",
+                        max_classes=2, iterations=4, stream12=0)
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(masks),
+        jnp.asarray(masks.copy()), cfg, params)
+    weights = optimize.LossWeights.from_config(cfg)
+    t0, terms0, g0 = _value_grad(cfg, content, consts, weights, params)
+    cfg_k = dataclasses.replace(cfg, stream12=4,
+                                stream12_impl="pallas")
+    t1, terms1, g1 = _value_grad(cfg_k, content, consts, weights,
+                                 params)
+    np.testing.assert_allclose(t1, t0, rtol=1e-5)
+    # atol: a 0-valued term (content at init) may come back as ~1e-8 of
+    # fp32 dust from the kernel's different summation order
+    np.testing.assert_allclose(terms1, terms0, rtol=1e-5,
+                               atol=1e-6 * abs(t0))
+    # max pool: a handful of elements (~0.01%) sit on window ties that
+    # flip under the kernel's ulp-different recompute — a different
+    # VALID subgradient (same class as the 'noties' lowering). The
+    # tie-free avg-pool check below stays tight, pinning everything
+    # else exactly.
+    np.testing.assert_allclose(g1, g0, rtol=1e-3,
+                               atol=5e-6 * np.abs(g0).max())
+    # avg pooling lowering too
+    cfg_a = dataclasses.replace(cfg, pooling="avg")
+    consts_a = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(masks),
+        jnp.asarray(masks.copy()), cfg_a, params)
+    ta, _, ga = _value_grad(cfg_a, content, consts_a, weights, params)
+    cfg_ka = dataclasses.replace(cfg_a, stream12=4,
+                                 stream12_impl="pallas")
+    tk, _, gk = _value_grad(cfg_ka, content, consts_a, weights, params)
+    np.testing.assert_allclose(tk, ta, rtol=1e-5)
+    np.testing.assert_allclose(gk, ga, rtol=1e-3,
+                               atol=1e-6 * np.abs(ga).max())
+
+
 def test_stream12_config_canonicalization():
     assert StylizeConfig(stream12=1) == StylizeConfig(stream12=0)
     with pytest.raises(ValueError, match="stream12"):
