@@ -66,22 +66,23 @@ def _conv_bias_relu(x, w, b, rowmask, cdt, row_chunk=0):
     (VMEM: full-R fp32 at C=64/W=512 is 6 MB — chunking halves peak)."""
     cin, r, wd = x.shape
     cout = w.shape[3]
+    # pad ONCE; every tap is then a pure slice of the padded buffer
+    # (an earlier per-tap pad/shift spent more VPU time copying than
+    # the MXU spent computing)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
     chunk = row_chunk or r
     outs = []
     for r0 in range(0, r, chunk):
         r1 = min(r0 + chunk, r)
-        # rows [r0, r1) need x rows [r0-1, r1+1): zero-fill past the
-        # extended tile (those rows are halo margin, discarded anyway)
-        lo = max(r0 - 1, 0)
-        hi = min(r1 + 1, r)
-        xs = x[:, lo:hi]
-        xs = jnp.pad(xs, ((0, 0), (lo - (r0 - 1), (r1 + 1) - hi),
-                          (0, 0)))
         rr = r1 - r0
         acc = jnp.zeros((cout, rr * wd), jnp.float32)
         for dr in (-1, 0, 1):
             for dc in (-1, 0, 1):
-                xv = _shift(xs, -dr, -dc)[:, 1:1 + rr].reshape(
+                # out[t, c] += w[1+dr,1+dc]·x[t+dr, c+dc]; padded
+                # coords: rows r0+1+dr .. , cols 1+dc ..
+                xv = jax.lax.slice(
+                    xp, (0, r0 + 1 + dr, 1 + dc),
+                    (cin, r1 + 1 + dr, wd + 1 + dc)).reshape(
                     cin, rr * wd)
                 acc = acc + jax.lax.dot_general(
                     w[1 + dr, 1 + dc].astype(cdt), xv,
@@ -307,20 +308,19 @@ def _conv3x3_T(dz, w, cdt, row_chunk=0):
     dx[t, c] = Σ_{dr,dc} w[1+dr, 1+dc] · dz[t−dr, c−dc] (contract Cout)."""
     cout, r, wd = dz.shape
     cin = w.shape[2]
+    xp = jnp.pad(dz, ((0, 0), (1, 1), (1, 1)))   # pad once, slice taps
     chunk = row_chunk or r
     outs = []
     for r0 in range(0, r, chunk):
         r1 = min(r0 + chunk, r)
-        lo = max(r0 - 1, 0)
-        hi = min(r1 + 1, r)
-        xs = jnp.pad(dz[:, lo:hi], ((0, 0), (lo - (r0 - 1),
-                                             (r1 + 1) - hi), (0, 0)))
         rr = r1 - r0
         acc = jnp.zeros((cin, rr * wd), jnp.float32)
         for dr in (-1, 0, 1):
             for dc in (-1, 0, 1):
-                # v[t] = dz[t − dr]: shift down by dr
-                xv = _shift(xs, dr, dc)[:, 1:1 + rr].reshape(
+                # v[t] = dz[t − dr] → padded rows r0+1−dr..
+                xv = jax.lax.slice(
+                    xp, (0, r0 + 1 - dr, 1 - dc),
+                    (cout, r1 + 1 - dr, wd + 1 - dc)).reshape(
                     cout, rr * wd)
                 acc = acc + jax.lax.dot_general(
                     w[1 + dr, 1 + dc].astype(cdt), xv,
@@ -452,6 +452,8 @@ def block12_bwd(a11, a12_unused, a21, a22, dp2, m1sq, m2sq, dg1, dg2,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((64, h2, w2), cdt),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(a21p, a21p, a21p, a22p, a22p, a22p, dp2p, dp2p, dp2p,
       m2p, m2p, m2p, dg2.astype(jnp.float32),
       w21.astype(cdt), w22.astype(cdt))
@@ -470,6 +472,8 @@ def block12_bwd(a11, a12_unused, a21, a22, dp2, m1sq, m2sq, dg1, dg2,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, h, w), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(a11p, a11p, a11p, dp1p, dp1p, dp1p, m1p, m1p, m1p,
       dg1.astype(jnp.float32), w11.astype(cdt), w12.astype(cdt),
       b12.astype(jnp.float32))
@@ -557,6 +561,8 @@ def block12_fwd_res(image_pre, m1sq, m2sq, weights: tuple, *,
                    jax.ShapeDtypeStruct((128, h // 2, w // 2), cdt),
                    jax.ShapeDtypeStruct((128, h // 2, w // 2), cdt)),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x, x, x, m1sq.astype(jnp.float32), m2sq.astype(jnp.float32),
       *weights)
 
@@ -621,5 +627,7 @@ def block12_fwd(image_pre: jnp.ndarray, m1sq: jnp.ndarray,
                    jax.ShapeDtypeStruct((k, 128, 128), jnp.float32),
                    jax.ShapeDtypeStruct((128, h // 4, w // 4), cdt)),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x, x, x, m1sq.astype(jnp.float32), m2sq.astype(jnp.float32),
       *weights)
