@@ -36,15 +36,25 @@ def prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
     seconds through a remote-TPU tunnel; fused it is milliseconds. The
     jit static key is `cfg.prepare_config()` — runs differing only in
     optimizer/schedule/observability fields share one executable."""
+    h, w = int(content.shape[-3]), int(content.shape[-2])
     return _prepare_constants(content, style, content_masks, style_masks,
-                              cfg.prepare_config(), vgg_params)
+                              cfg.prepare_config(), vgg_params,
+                              _lap_mode(cfg, h, w))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def _lap_mode(cfg: StylizeConfig, h: int, w: int) -> str:
+    """"real" (photorealism on) | "zero" (off, but the s2b layout anchor
+    applies — optimize.lap_anchor_active) | "none"."""
+    if cfg.use_photorealism:
+        return "real"
+    return "zero" if optimize.lap_anchor_active(cfg, h, w) else "none"
+
+
+@partial(jax.jit, static_argnames=("cfg", "lap_mode"))
 def _prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
                        content_masks: jnp.ndarray, style_masks: jnp.ndarray,
-                       cfg: StylizeConfig, vgg_params: dict
-                       ) -> optimize.StylizeConstants:
+                       cfg: StylizeConfig, vgg_params: dict,
+                       lap_mode: str = "none") -> optimize.StylizeConstants:
     content = jnp.asarray(content, jnp.float32)
     style = jnp.asarray(style, jnp.float32)
 
@@ -73,9 +83,11 @@ def _prepare_constants(content: jnp.ndarray, style: jnp.ndarray,
     coverage = segmentation.coverage_weights(content_masks)
 
     lap_stats = None
-    if cfg.use_photorealism:
+    if lap_mode == "real":
         lap_stats = lap.precompute_stats(
             content * (1.0 / 255.0), eps=cfg.matting_epsilon)
+    elif lap_mode == "zero":     # layout anchor: L == 0 exactly
+        lap_stats = lap.zero_stats(content.shape[-3], content.shape[-2])
 
     return optimize.StylizeConstants(
         content_feats=content_feats, style_grams=style_grams,
@@ -90,12 +102,14 @@ def _prepare_stage(content, style, cmasks, smasks, vgg_params,
     TPU tunnel — per-stage fusion keeps the whole schedule device-bound.
     Static jit key: `cfg.prepare_config()` (see prepare_constants)."""
     return _prepare_stage_jit(content, style, cmasks, smasks, vgg_params,
-                              hw, cfg.prepare_config())
+                              hw, cfg.prepare_config(),
+                              _lap_mode(cfg, *hw))
 
 
-@partial(jax.jit, static_argnames=("hw", "cfg"))
+@partial(jax.jit, static_argnames=("hw", "cfg", "lap_mode"))
 def _prepare_stage_jit(content, style, cmasks, smasks, vgg_params,
-                       hw: tuple[int, int], cfg: StylizeConfig):
+                       hw: tuple[int, int], cfg: StylizeConfig,
+                       lap_mode: str = "none"):
     if tuple(content.shape[:2]) != hw:
         content = resize_image(content, hw)
         style = resize_image(style, hw)
@@ -104,7 +118,7 @@ def _prepare_stage_jit(content, style, cmasks, smasks, vgg_params,
         smasks = jnp.clip(resize_image(smasks[..., None], hw)[..., 0],
                           0.0, 1.0)
     consts = _prepare_constants(content, style, cmasks, smasks, cfg,
-                                vgg_params)
+                                vgg_params, lap_mode)
     style_mean = jnp.mean(style, axis=(0, 1), keepdims=True)
     return consts, content, style_mean
 

@@ -130,7 +130,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--dtype", choices=("bfloat16", "float32"),
                    default="bfloat16", help="conv/Gram compute dtype")
     g.add_argument("--conv-impl",
-                   choices=("auto", "pallas", "xla", "flipvjp", "padbwd"),
+                   choices=("auto", "pallas", "xla", "flipvjp", "padbwd",
+                            "dotbwd"),
                    default="auto", help="VGG conv kernel backend")
     g.add_argument("--gram-impl",
                    choices=("auto", "pallas", "xla", "dotg", "stream",

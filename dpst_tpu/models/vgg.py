@@ -152,6 +152,50 @@ def _conv_padbwd_bwd(w, g):
 _conv_padbwd.defvjp(_conv_padbwd_fwd, _conv_padbwd_bwd)
 
 
+@jax.custom_vjp
+def _conv_dotbwd(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """SAME 3×3 conv whose input gradient is ONE tall matmul.
+
+    conv1_1's input gradient has 3 output channels — the transposed-conv
+    emitter runs it at ~1% MXU (the 1.15 ms fusion.1067, the single
+    largest op of the 512² step; padding channels to 16 measured
+    neutral). This formulation sidesteps the conv emitters entirely:
+      y(P, 27) = g(P, 64) · Wall(64, 9·3)   — M = every pixel (huge),
+    K = 64, N = 27; then dx is nine shifted slice-adds of y's 3-channel
+    groups (pure VPU). No transpose of the (B,H,W,64) cotangent is
+    needed: P flattens its leading dims, which are already major in the
+    conv layout. Weight gradient is skipped (VGG weights are frozen
+    constants in style transfer — same contract as _conv_padbwd).
+    """
+    return _conv_raw(x, w)
+
+
+def _conv_dotbwd_fwd(x, w):
+    return _conv_raw(x, w), w
+
+
+def _conv_dotbwd_bwd(w, g):
+    b, h, wd, k = g.shape
+    c = w.shape[2]
+    # (K, 9·C): column block t = 3·dr+dc holds w[dr, dc]ᵀ
+    wall = w.reshape(9, c, k).transpose(2, 0, 1).reshape(k, 9 * c)
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.dot_general(
+        gp.reshape(-1, k), wall, (((1,), (0,)), ((), ())),
+        preferred_element_type=g.dtype)
+    y = y.reshape(b, h + 2, wd + 2, 9, c)
+    # dx[p, q, i] = Σ_{dr,dc} y[p+2−dr, q+2−dc, 3·dr+dc, i]
+    gx = jnp.zeros((b, h, wd, c), y.dtype)
+    for dr in range(3):
+        for dc in range(3):
+            gx = gx + y[:, 2 - dr:2 - dr + h, 2 - dc:2 - dc + wd,
+                        3 * dr + dc]
+    return gx, jnp.zeros_like(w)
+
+
+_conv_dotbwd.defvjp(_conv_dotbwd_fwd, _conv_dotbwd_bwd)
+
+
 def _use_pallas_conv(conv_impl: str, width: int, cin: int) -> bool:
     """"auto" resolves to XLA: the Pallas tap-matmul conv is validated
     and available (`conv_impl="pallas"`), but measured SLOWER in the full
@@ -416,6 +460,15 @@ def _resolve_s2b(s2b_strips: int, h: int, w: int) -> int:
     return h // 64
 
 
+def s2b_active(s2b_strips: int, h: int, w: int, layers) -> bool:
+    """Will `extract_features` run the strip decomposition for this
+    (config, shape)? Public so `api.prepare_constants` can decide the
+    Laplacian layout anchor (`optimize.lap_anchor_active`) consistently
+    with the path the loss will actually take."""
+    n = _resolve_s2b(s2b_strips, h, w)
+    return _s2b_enabled(n, (1, h, w, 3), layers)
+
+
 def _s2b_enabled(s2b_strips: int, image_shape, layers) -> bool:
     """Static gate for the manual strip decomposition of blocks 1-2.
 
@@ -550,6 +603,8 @@ def extract_features(params: dict, image: jnp.ndarray,
         elif conv_impl == "padbwd" and x.shape[3] < _PADBWD_COUT:
             # only conv1_1 has a narrow input-gradient (3 channels)
             x = _conv_padbwd(x, w.astype(cdt))
+        elif conv_impl == "dotbwd" and x.shape[3] < _PADBWD_COUT:
+            x = _conv_dotbwd(x, w.astype(cdt))
         else:
             x = jax.lax.conv_general_dilated(
                 x, w.astype(cdt), (1, 1), "SAME",

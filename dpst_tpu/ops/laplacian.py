@@ -112,6 +112,25 @@ def precompute_stats(image01: jnp.ndarray,
                           win_count=win_count, image=img)
 
 
+def zero_stats(h: int, w: int) -> LaplacianStats:
+    """Stats of the ZERO operator: matvec(zero_stats, v) == 0 exactly.
+
+    Every term of the matvec vanishes — win_count·v (win_count = 0),
+    box(α) (α = valid·(…) = 0) and I·box(β) (β = −Λ(…)/9 = 0 with
+    Λ = 0) — so vᵀLv and its gradient are exact fp32 zeros, for every
+    implementation (the Pallas kernel computes the same expressions).
+    Used by `api.prepare_constants` as a layout anchor when photorealism
+    is off but the s2b strip path is active: XLA's layout assignment for
+    the strip backward flips to a transposed layout without the
+    image-space Laplacian gradient consumer, costing ~0.87 ms/step of
+    relayout copies at 512² — ~9× the matvec it avoids (profiled in
+    ARCHITECTURE.md, round-3 config-2 anomaly)."""
+    z2 = jnp.zeros((h, w), jnp.float32)
+    z3 = jnp.zeros((h, w, 3), jnp.float32)
+    return LaplacianStats(mu=z3, lam=jnp.zeros((h, w, 3, 3), jnp.float32),
+                          valid=z2, win_count=z2, image=z3)
+
+
 def matvec_xla(stats: LaplacianStats, v: jnp.ndarray) -> jnp.ndarray:
     """y = L·v for v of shape (H, W) or (H, W, C) — pure XLA implementation.
 

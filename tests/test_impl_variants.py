@@ -63,6 +63,7 @@ def _val_grad(params, content, style, masks, **kw):
     {"gram_impl": "stream"},
     {"gram_impl": "hybrid"},
     {"conv_impl": "padbwd"},
+    {"conv_impl": "dotbwd"},
 ], ids=lambda kw: "+".join(str(v) for v in kw.values()))
 def test_variant_matches_default(kw):
     content, style, masks = _pair()

@@ -33,6 +33,7 @@ VARIANTS = {
     "s2b8+flipvjp": {"s2b_strips": 8, "conv_impl": "flipvjp"},
     "s2b8+noties": {"s2b_strips": 8, "pool_impl": "noties"},
     "s2b8+padbwd": {"s2b_strips": 8, "conv_impl": "padbwd"},
+    "s2b8+dotbwd": {"s2b_strips": 8, "conv_impl": "dotbwd"},
     "s2b8+dotg": {"s2b_strips": 8, "gram_impl": "dotg"},
     "s2b8+hybridgram": {"s2b_strips": 8, "gram_impl": "hybrid"},
     "s2b8+rblock1": {"s2b_strips": 8, "remat": "block1"},
