@@ -131,7 +131,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default="bfloat16", help="conv/Gram compute dtype")
     g.add_argument("--conv-impl",
                    choices=("auto", "pallas", "xla", "flipvjp", "padbwd",
-                            "dotbwd"),
+                            "dotbwd", "dot11"),
                    default="auto", help="VGG conv kernel backend")
     g.add_argument("--gram-impl",
                    choices=("auto", "pallas", "xla", "dotg", "stream",

@@ -256,7 +256,7 @@ class StylizeConfig:
         if self.laplacian_impl not in ("auto", "pallas", "xla", "spmd"):
             raise ValueError(f"unknown laplacian_impl {self.laplacian_impl!r}")
         if self.conv_impl not in ("auto", "pallas", "xla", "flipvjp",
-                                  "padbwd", "dotbwd"):
+                                  "padbwd", "dotbwd", "dot11"):
             raise ValueError(f"unknown conv_impl {self.conv_impl!r}")
         if self.style_norm not in ("gatys", "paper"):
             raise ValueError(f"unknown style_norm {self.style_norm!r}")

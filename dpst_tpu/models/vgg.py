@@ -196,6 +196,66 @@ def _conv_dotbwd_bwd(w, g):
 _conv_dotbwd.defvjp(_conv_dotbwd_fwd, _conv_dotbwd_bwd)
 
 
+def _resolve_conv11(conv_impl: str, x_shape) -> str:
+    """How should conv1_1 lower? "" = the XLA conv emitter; "dotbwd" =
+    emitter forward + tall-matmul input gradient; "dot11" = matmul both
+    directions (explicit im2col forward).
+
+    "auto" policy, from v5e full-step measurements (each repeated):
+      * 512² (s2b strips, batch 8): dotbwd 142.4 vs dot11 139.8 vs
+        emitter 134.4 it/s → strip-form picks "dotbwd";
+      * 256² (batch 1, no strips): dot11 626.8 vs dotbwd 541.2 vs
+        emitter 516.5 (+21%) → batch-1 picks "dot11";
+      * 1024² strips: emitter 34.1 vs dotbwd 33.7 — the (H+2)(W+2)·27
+        tap tensor's HBM traffic outgrows the emitter's inefficiency →
+        ≥1024²-class pixel counts keep the emitter.
+    Only conv1_1 qualifies (the narrow 3-channel end); explicit
+    "dotbwd"/"dot11" override the gate."""
+    b, h, w, c = x_shape
+    if c >= _PADBWD_COUT:
+        return ""
+    if conv_impl in ("dotbwd", "dot11"):
+        return conv_impl
+    if conv_impl != "auto" or jax.default_backend() != "tpu":
+        return ""
+    if b * h * w >= 1024 * 1024:
+        return ""
+    return "dot11" if b == 1 else "dotbwd"
+
+
+@jax.custom_vjp
+def _conv_dot11(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """conv1_1 with BOTH directions as matmuls (no conv emitters).
+
+    Forward: z(P, 64) = im2col(x)(P, 27) · w(27, 64) — the emitter runs
+    the C_in=3 conv at a 27-deep contraction anyway (337 µs/step @512²,
+    ~5× off memory speed-of-light); the explicit im2col keeps the same
+    K but reaches it through plain slices + one tall dot. Backward: the
+    _conv_dotbwd formulation. Weight gradient skipped (frozen VGG).
+    """
+    return _dot11_fwd_impl(x, w)
+
+
+def _dot11_fwd_impl(x, w):
+    b, h, wd, c = x.shape
+    k = w.shape[3]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xtaps = jnp.concatenate(
+        [xp[:, dr:dr + h, dc:dc + wd, :]
+         for dr in range(3) for dc in range(3)], axis=-1)     # (B,H,W,9C)
+    z = jax.lax.dot_general(
+        xtaps.reshape(-1, 9 * c), w.reshape(9 * c, k),
+        (((1,), (0,)), ((), ())), preferred_element_type=x.dtype)
+    return z.reshape(b, h, wd, k)
+
+
+def _conv_dot11_fwd(x, w):
+    return _dot11_fwd_impl(x, w), w
+
+
+_conv_dot11.defvjp(_conv_dot11_fwd, _conv_dotbwd_bwd)
+
+
 def _use_pallas_conv(conv_impl: str, width: int, cin: int) -> bool:
     """"auto" resolves to XLA: the Pallas tap-matmul conv is validated
     and available (`conv_impl="pallas"`), but measured SLOWER in the full
@@ -603,8 +663,10 @@ def extract_features(params: dict, image: jnp.ndarray,
         elif conv_impl == "padbwd" and x.shape[3] < _PADBWD_COUT:
             # only conv1_1 has a narrow input-gradient (3 channels)
             x = _conv_padbwd(x, w.astype(cdt))
-        elif conv_impl == "dotbwd" and x.shape[3] < _PADBWD_COUT:
+        elif _resolve_conv11(conv_impl, x.shape) == "dotbwd":
             x = _conv_dotbwd(x, w.astype(cdt))
+        elif _resolve_conv11(conv_impl, x.shape) == "dot11":
+            x = _conv_dot11(x, w.astype(cdt))
         else:
             x = jax.lax.conv_general_dilated(
                 x, w.astype(cdt), (1, 1), "SAME",

@@ -64,6 +64,7 @@ def _val_grad(params, content, style, masks, **kw):
     {"gram_impl": "hybrid"},
     {"conv_impl": "padbwd"},
     {"conv_impl": "dotbwd"},
+    {"conv_impl": "dot11"},
 ], ids=lambda kw: "+".join(str(v) for v in kw.values()))
 def test_variant_matches_default(kw):
     content, style, masks = _pair()
@@ -108,3 +109,18 @@ def test_noties_differs_only_on_ties():
     g_full = jax.grad(pooled_sum)(x, "noties")
     np.testing.assert_allclose(np.asarray(g_split), 0.25 * np.ones((1, 2, 2, 1)))
     np.testing.assert_allclose(np.asarray(g_full), np.ones((1, 2, 2, 1)))
+
+
+def test_conv11_auto_gate(monkeypatch):
+    """auto resolves conv1_1 to the matmul lowerings ONLY on TPU below
+    1024²-class pixel counts (measured gate — vgg._resolve_conv11):
+    strip-form → dotbwd, batch-1 → dot11, large/CPU → emitter."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert vgg._resolve_conv11("auto", (8, 80, 512, 3)) == "dotbwd"
+    assert vgg._resolve_conv11("auto", (1, 256, 256, 3)) == "dot11"
+    assert vgg._resolve_conv11("auto", (16, 80, 1024, 3)) == ""
+    assert vgg._resolve_conv11("auto", (8, 80, 512, 64)) == ""  # conv1_1 only
+    assert vgg._resolve_conv11("dotbwd", (16, 80, 1024, 3)) == "dotbwd"
+    assert vgg._resolve_conv11("dot11", (8, 80, 512, 3)) == "dot11"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert vgg._resolve_conv11("auto", (8, 80, 512, 3)) == ""
