@@ -81,6 +81,18 @@ class StylizeConfig:
     # redundant conv FLOPs in those blocks (512² full step: 135.2 vs
     # 121.5 it/s). Exact: strip interiors are the undecomposed values.
     s2b_strips: int = -1
+    # How the masked Gram consumes block-1/2 taps when the strip path is
+    # active: "interior" = slice strips back to image order and flatten
+    # (H·W, C) — XLA pays relayout copies moving the tap out of the
+    # conv-emitter layout; "perm" = flatten in the layout's OWN memory
+    # order (rows, W, strips) with the loop-invariant masks permuted to
+    # match (vgg.perm_flatten/perm_masks — exact: the Gram sum is
+    # pixel-permutation-invariant), so the (P, C) view is a bitcast.
+    # "auto" = "perm" (measured 149.0 vs 142.5 it/s @512² full step).
+    # Applied per layer, where strips are active AND the layer is
+    # style-only AND routes to the fused Gram (the flat form
+    # materializes the same (P, K·C) block the fused lowering does).
+    strip_gram: str = "auto"
     # Block-1/2 activation STREAMING (models/vgg.stream_block12_grams):
     # the single-chip path for ≥3072²-class images, where block-1/2
     # activations exceed HBM in any batch-form decomposition. Blocks 1-2
@@ -207,7 +219,7 @@ class StylizeConfig:
             pool_impl={"pallas": "xla"}.get(self.pool_impl, self.pool_impl),
             # strip slicing along the row axis would gather across
             # shards; XLA's own rewrite partitions correctly instead
-            s2b_strips=0,
+            s2b_strips=0, strip_gram="interior",
             # the strip scan's slices likewise; row-sharded meshes are
             # the multi-chip answer to the same memory regime
             stream12=0, stream12_impl="scan",
@@ -232,8 +244,8 @@ class StylizeConfig:
             clip_pixels=True, seed=0,
             scales=(), scale_iter_factor=1.0,
             style_layer_weights=(1.0,) * len(self.style_layers),
-            remat="none", s2b_strips=0, stream12=0,
-            stream12_impl="scan", history_terms="auto",
+            remat="none", s2b_strips=0, strip_gram="interior",
+            stream12=0, stream12_impl="scan", history_terms="auto",
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             seg_protocol="resize", seg_scales=(1.0,),
@@ -287,6 +299,8 @@ class StylizeConfig:
             # program — canonicalize so the executable is shared
             # (ADVICE r2).
             object.__setattr__(self, "s2b_strips", 0)
+        if self.strip_gram not in ("auto", "interior", "perm"):
+            raise ValueError(f"unknown strip_gram {self.strip_gram!r}")
         if self.history_terms not in ("auto", "full", "total"):
             raise ValueError(
                 f"unknown history_terms {self.history_terms!r}")

@@ -490,6 +490,40 @@ class StripTap:
         return t.reshape(s * self.own, w, c)
 
 
+def perm_flatten(tap: "StripTap") -> jnp.ndarray:
+    """StripTap -> (P, C) features flattened in the conv layout's order.
+
+    Slices the interior rows (a contiguous chunk of the major-most
+    physical dim — free) and flattens pixels as (row, col, strip)
+    instead of the image order (strip, row, col). On TPU the strip
+    tensors live in the conv-emitter layout {3,0,2,1} (memory order
+    rows, W, strips, C with the (strips, C) pair in the sublane×lane
+    tile), so `transpose(1, 2, 0, 3)` is layout-order and the reshape
+    to (P, C) is a pure bitcast whenever the strip count is a multiple
+    of the 8-row sublane tile — the masked Gram then reads the tap with
+    NO relayout copy (the image-order flatten pays two 33 MB copies per
+    step at 512² block 1; ARCHITECTURE.md round 3). Pair with
+    `perm_masks` — the Gram sum is pixel-permutation-invariant, so any
+    consistent order is exact.
+    """
+    t = tap.data[:, tap.halo:tap.halo + tap.own]
+    s, r, w, c = t.shape
+    return t.transpose(1, 2, 0, 3).reshape(r * w * s, c)
+
+
+def perm_masks(mask: jnp.ndarray, strips: int) -> jnp.ndarray:
+    """(K, H, W) layer masks -> (K, P) in `perm_flatten`'s pixel order.
+
+    Global row s·own + r maps to flat index (r·W + w)·S + s. Masks are
+    loop-invariant constants, so XLA hoists this out of the
+    optimization scan — the permutation costs nothing per step.
+    """
+    k, h, w = mask.shape
+    own = h // strips
+    m = mask.reshape(k, strips, own, w)
+    return m.transpose(0, 2, 3, 1).reshape(k, own * w * strips)
+
+
 def strip_masks(mask: jnp.ndarray, halo: int, own: int) -> jnp.ndarray:
     """(K, H, W) layer masks -> (K, S·(own+2·halo), W) strip-form masks
     with zeros in every halo row (see StripTap). Loop-invariant given

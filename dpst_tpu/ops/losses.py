@@ -127,6 +127,42 @@ def masked_grams_fused_nhwc(feat: jnp.ndarray, masks: jnp.ndarray,
     return g / jnp.maximum(n, eps)[:, None, None]
 
 
+def masked_grams_flat(f2d: jnp.ndarray, masks_flat: jnp.ndarray,
+                      eps: float = 1e-8,
+                      compute_dtype: str | jnp.dtype = "float32",
+                      norm: str = "m2") -> jnp.ndarray:
+    """All K masked Grams from PRE-FLATTENED operands: (P, C) features ×
+    (K, P) masks -> (K, C, C), normalized like `masked_grams_fused`.
+
+    The Gram sum is permutation-invariant over P, so the caller may
+    flatten pixels in ANY order as long as features and masks use the
+    same one. The strip-form tap path (optimize.make_loss_fn,
+    strip_gram="perm") exploits this: it flattens block-1/2 taps in the
+    conv-emitter layout's own memory order — (rows, W, strips, C), a
+    pure bitcast of the strip tensor since the strip axis spans exactly
+    the sublane tile — with the loop-invariant masks permuted to match
+    (vgg.perm_masks), so the (P, C) view costs no relayout copy. The
+    contraction itself is `dot_general` over dim 0 of both operands (no
+    explicit fᵀ transpose op; the dot emitter picks the orientation).
+    """
+    p, c = f2d.shape
+    k = masks_flat.shape[0]
+    cdt = jnp.dtype(compute_dtype)
+    f = f2d.astype(cdt)
+    # the weighting is always m² ((m∘F)ᵀ(m∘F) = Fᵀdiag(m²)F); `norm`
+    # only selects the normalizer below, as in masked_grams_fused
+    m2 = masks_flat.astype(cdt) * masks_flat.astype(cdt)
+    fw = (f[:, None, :] * m2.T[:, :, None]).reshape(p, k * c)
+    g = jax.lax.dot_general(
+        f, fw, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (C, K·C)
+    g = g.reshape(c, k, c).transpose(1, 0, 2)              # (K, C, C)
+    m32 = masks_flat.astype(jnp.float32)
+    n = (jnp.sum(m32 * m32, axis=1) if norm == "m2"
+         else jnp.sum(m32, axis=1))
+    return g / jnp.maximum(n, eps)[:, None, None]
+
+
 # The fused path materializes the (P, K·C) mask-weighted block; beyond
 # this bound (> 805 MB bf16, e.g. conv1_1 at 1024² with K=8 or any
 # 2048² layer) the block stops being worth storing. Measured on v5e:

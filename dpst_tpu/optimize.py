@@ -83,6 +83,40 @@ def lap_anchor_active(cfg: StylizeConfig, h: int, w: int) -> bool:
     return True
 
 
+def _strip_gram_perm(cfg: StylizeConfig, image_shape, all_layers,
+                     b12_layers, mask_shapes: dict) -> tuple:
+    """Resolve `cfg.strip_gram` for this (config, shape): the tuple of
+    block-1/2 layers whose taps should stay in strip form and flatten in
+    the conv layout's pixel order (vgg.perm_flatten), feeding the Gram
+    pre-flattened operands (losses.masked_grams_flat).
+
+    A layer qualifies where it is exact AND the layout argument holds:
+    the strip path is active, the tap is style-only (content taps need
+    the image-order tensor), and the layer routes to the fused Gram (the
+    flat form materializes the same (P, K·C) block; the hybrid/stream
+    lowerings above the fused bound keep their own tap handling — at
+    1024² conv1_1 rides hybrid while conv2_1 still qualifies). "auto"
+    resolves to "perm": measured 149.0 vs 142.5 it/s on the 512² full
+    step (tools/perf_lab.py s2b8+permgram, v5e) — the image-order
+    flatten's relayout copies (copy.1272/1273 + reshape.857 in the
+    round-3 trace, ~0.5 ms/step) become bitcasts.
+    """
+    if cfg.strip_gram == "interior":
+        return ()
+    h, w = image_shape[:2]
+    if not vgg.s2b_active(cfg.s2b_strips, h, w, all_layers):
+        return ()
+    out = []
+    for l in b12_layers:
+        if l not in cfg.style_layers or l in cfg.content_layers:
+            continue
+        k, hl, wl = mask_shapes[l]
+        c = vgg.VGG19_BLOCKS[int(l[4]) - 1][1]
+        if losses.gram_route(hl, wl, k, c, cfg.gram_impl) == "fused":
+            out.append(l)
+    return tuple(out)
+
+
 @lru_cache(maxsize=64)
 def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
     """Build loss(image, consts, weights, vgg_params) -> (total, terms).
@@ -159,11 +193,37 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
             # with halo-zeroed masks (vgg.StripTap / strip_masks)
             # measured 127.4 vs 134.3 it/s — the +25% wider contraction
             # costs more than the interior-slice copies it removes.
+            # strip_gram="perm" instead keeps the interior slice but
+            # flattens it in the conv layout's own pixel order with
+            # permuted masks (vgg.perm_flatten/perm_masks — a bitcast
+            # where the image-order flatten pays relayout copies).
+            perm_layers = _strip_gram_perm(
+                cfg, image.shape, all_layers, b12_layers,
+                {l: consts.masks[l].shape for l in b12_layers})
             feats = vgg.extract_features(
                 vgg_params, image, all_layers,
                 pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
                 conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
-                s2b_strips=cfg.s2b_strips)
+                s2b_strips=cfg.s2b_strips,
+                strip_taps=bool(perm_layers))
+            if perm_layers:
+                g_out = {}
+                for l in list(feats):
+                    tap = feats[l]
+                    if not isinstance(tap, vgg.StripTap):
+                        continue
+                    if l in perm_layers:
+                        g_out[l] = losses.masked_grams_flat(
+                            vgg.perm_flatten(tap),
+                            vgg.perm_masks(consts.masks[l],
+                                           tap.data.shape[0]),
+                            compute_dtype=cfg.compute_dtype,
+                            norm=gram_norm)
+                        del feats[l]
+                    else:
+                        # e.g. a hybrid/stream-routed or content tap:
+                        # back to the image-order tensor (= interior)
+                        feats[l] = tap.plain()
 
         l_content = jnp.float32(0.0)
         for layer in cfg.content_layers:

@@ -97,6 +97,42 @@ def test_s2b_strips_full_loss_parity():
     np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
 
 
+def test_strip_gram_perm_parity():
+    """strip_gram="perm" (layout-order tap flatten + permuted masks)
+    reproduces the default loss and gradient: the Gram sum is
+    pixel-permutation-invariant, so only fp32 summation order differs."""
+    r = np.random.default_rng(11)
+    content = r.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    masks = np.zeros((2, 256, 64), np.float32)
+    masks[0, :128] = 1.0
+    masks[1, 128:] = 1.0
+    params = vgg.get_params(seed=0)
+    v0, g0 = _val_grad(params, content, style, masks, s2b_strips=8)
+    v1, g1 = _val_grad(params, content, style, masks, s2b_strips=8,
+                       strip_gram="perm")
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    scale = np.max(np.abs(g0))
+    np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
+
+
+def test_perm_flatten_matches_plain():
+    """vgg.perm_flatten/perm_masks are a consistent re-ordering: the
+    flat Gram from them equals the fused Gram from the plain tap."""
+    from dpst_tpu.ops import losses as L
+    r = np.random.default_rng(3)
+    data = r.normal(size=(4, 24, 16, 8)).astype(np.float32)  # S=4 strips
+    halo, own = 4, 16
+    tap = vgg.StripTap(jnp.asarray(data), halo, own)
+    plain = tap.plain()                                   # (64, 16, 8)
+    masks = r.uniform(0, 1, (3, 64, 16)).astype(np.float32)
+    g_ref = L.masked_grams_fused(plain, jnp.asarray(masks))
+    g_perm = L.masked_grams_flat(
+        vgg.perm_flatten(tap), vgg.perm_masks(jnp.asarray(masks), 4))
+    np.testing.assert_allclose(np.asarray(g_perm), np.asarray(g_ref),
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_noties_differs_only_on_ties():
     # A constructed tie: a flat 2×2 window shares the max; "noties" gives
     # each tied position the full cotangent, the default splits it.

@@ -38,6 +38,7 @@ VARIANTS = {
     "s2b8+hybridgram": {"s2b_strips": 8, "gram_impl": "hybrid"},
     "s2b8+rblock1": {"s2b_strips": 8, "remat": "block1"},
     "s2b8+avg": {"s2b_strips": 8, "pooling": "avg"},
+    "s2b8+permgram": {"s2b_strips": 8, "strip_gram": "perm"},
 }
 
 # XLA compiler-option variants: the axon remote-compile service accepts
