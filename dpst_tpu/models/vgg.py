@@ -438,6 +438,18 @@ def _pool(x: jnp.ndarray, kind: str, pool_impl: str = "xla") -> jnp.ndarray:
     return s * 0.25
 
 
+# Activation. jnp.maximum(x, 0)'s general VJP splits the cotangent
+# across exact ties (2 compares + 2 selects + a divide fused into every
+# conv backward), where jax.nn.relu's custom JVP (∇relu(0) = 0) is one
+# compare+select. A same-session A/B at 512² measured them IDENTICAL
+# (148.95/149.02 vs 148.94/148.92 it/s) — the extra tie ops ride free
+# inside bandwidth-bound fusions on data already in registers — so the
+# default keeps maximum's tie-split subgradient, the convention every
+# golden/parity artifact in this repo was pinned under.
+def _relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, 0.0)
+
+
 # Manual space-to-batch of blocks 1-2: input halo rows per strip. 8 is
 # exactly sufficient for every row consumed downstream to be computed
 # from real data through conv1_1..conv2_2+pool2 (validity chain:
@@ -671,7 +683,7 @@ def extract_features(params: dict, image: jnp.ndarray,
                 # bias+ReLU after the pool does the elementwise work at
                 # quarter resolution and lets the pool consume the raw
                 # conv output with no elementwise island in between
-                x = jnp.maximum(x + pending_bias, 0.0)
+                x = _relu(x + pending_bias)
                 pending_bias = None
                 if strip_halo is not None and name != "pool2":
                     x = _zero_oob(x)   # see _zero_oob: edge-strip halos
@@ -716,7 +728,7 @@ def extract_features(params: dict, image: jnp.ndarray,
             pending_bias = p["b"].astype(cdt)   # applied after the pool
             continue
         x = x + p["b"].astype(cdt)
-        x = jnp.maximum(x, 0.0)
+        x = _relu(x)
         if strip_halo is not None:
             x = _zero_oob(x)           # see _zero_oob: edge-strip halos
         # remat tag: under cfg.remat="blockN" policies these activations
@@ -853,7 +865,7 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
             x = jax.lax.conv_general_dilated(
                 x, wgt.astype(cdt), (1, 1), "SAME",
                 dimension_numbers=_DN, preferred_element_type=cdt)
-            x = jnp.maximum(x + p["b"].astype(cdt), 0.0)
+            x = _relu(x + p["b"].astype(cdt))
             rows = x.shape[1]
             gi = idx * own + jnp.arange(rows) - halo
             ok = ((gi >= 0) & (gi < own * strips)).astype(x.dtype)
@@ -920,7 +932,7 @@ def extract_tail(params: dict, x: jnp.ndarray, layers: tuple[str, ...],
         if name.startswith("pool"):
             x = _pool(x, pooling, pool_impl)
             if pending_bias is not None:
-                x = jnp.maximum(x + pending_bias, 0.0)
+                x = _relu(x + pending_bias)
                 pending_bias = None
             x = checkpoint_name(x, f"vgg_block{name[4]}")
             continue
@@ -939,7 +951,7 @@ def extract_tail(params: dict, x: jnp.ndarray, layers: tuple[str, ...],
             pending_bias = p["b"].astype(cdt)
             continue
         x = x + p["b"].astype(cdt)
-        x = jnp.maximum(x, 0.0)
+        x = _relu(x)
         x = checkpoint_name(x, f"vgg_block{name[4]}")
         if name in layers:
             taps[name] = x[0]

@@ -199,7 +199,8 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
             # where the image-order flatten pays relayout copies).
             perm_layers = _strip_gram_perm(
                 cfg, image.shape, all_layers, b12_layers,
-                {l: consts.masks[l].shape for l in b12_layers})
+                {l: consts.masks[l].shape for l in b12_layers
+                 if l in style_lw})   # masks exist for style layers only
             feats = vgg.extract_features(
                 vgg_params, image, all_layers,
                 pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,

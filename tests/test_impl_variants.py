@@ -116,6 +116,27 @@ def test_strip_gram_perm_parity():
     np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
 
 
+def test_strip_gram_perm_content_tap_in_b12():
+    """A content tap inside blocks 1-2 must not break the perm path:
+    the tap needs the image-order tensor (StripTap.plain fallback), and
+    the mask-shape lookup must not touch non-style layers (consts.masks
+    has style layers only — regression for a KeyError)."""
+    r = np.random.default_rng(11)
+    content = r.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    masks = np.zeros((2, 256, 64), np.float32)
+    masks[0, :128] = 1.0
+    masks[1, 128:] = 1.0
+    params = vgg.get_params(seed=0)
+    kw = dict(content_layers=("conv1_2", "conv4_2"))
+    v0, g0 = _val_grad(params, content, style, masks, **kw)
+    v1, g1 = _val_grad(params, content, style, masks, s2b_strips=8,
+                       strip_gram="perm", **kw)
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    scale = np.max(np.abs(g0))
+    np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
+
+
 def test_perm_flatten_matches_plain():
     """vgg.perm_flatten/perm_masks are a consistent re-ordering: the
     flat Gram from them equals the fused Gram from the plain tap."""
