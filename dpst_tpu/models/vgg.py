@@ -876,11 +876,13 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                 f2 = f.reshape(own * f.shape[1], c_l)
                 m = ms_i[name]                   # (K, own, w_l)
                 # numerator is m²-weighted for BOTH norms ((m∘F)ᵀ(m∘F));
-                # the norm choice only changes the external divisor
+                # the norm choice only changes the external divisor.
+                # _grams_raw_flat carries the one-pass analytic VJP —
+                # inside this checkpointed scan the backward otherwise
+                # re-walks each strip's (P, K·C) block three times
+                from ..ops.losses import _grams_raw_flat
                 m2 = (m * m).astype(cdt).reshape(m.shape[0], -1)
-                fw = (f2[:, None, :] * m2.T[:, :, None]).reshape(
-                    f2.shape[0], -1)
-                g = jnp.dot(f2.T, fw, preferred_element_type=jnp.float32)
+                g = _grams_raw_flat(f2, m2)
                 grams[name] = g.reshape(
                     c_l, m.shape[0], c_l).transpose(1, 0, 2)
             x = x.astype(cdt)

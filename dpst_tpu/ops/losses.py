@@ -82,10 +82,13 @@ def masked_grams_fused(feat: jnp.ndarray, masks: jnp.ndarray,
     k = masks.shape[0]
     cdt = jnp.dtype(compute_dtype)
     f = feat.astype(cdt).reshape(h * w, c)
-    # one unmasked operand × one m²-weighted operand ≡ (m∘F)ᵀ(m∘F)
+    # one unmasked operand × one m²-weighted operand ≡ (m∘F)ᵀ(m∘F);
+    # _grams_raw_flat carries the one-pass analytic backward (dF =
+    # Σ_k FW_k(dG_k+dG_kᵀ) — autodiff of the mul+dot chain re-walks
+    # the (P, K·C) block three times per step; measured +6.7% full-step
+    # on the strip path, same structure here)
     m2 = (masks * masks).astype(cdt).reshape(k, h * w)
-    fw = (f[:, None, :] * m2.T[:, :, None]).reshape(h * w, k * c)
-    g = jnp.dot(f.T, fw, preferred_element_type=jnp.float32)
+    g = _grams_raw_flat(f, m2)
     g = g.reshape(c, k, c).transpose(1, 0, 2)            # (K, C, C)
     masks32 = masks.astype(jnp.float32)
     n = (jnp.sum(masks32 ** 2, axis=(1, 2)) if norm == "m2"
@@ -127,6 +130,56 @@ def masked_grams_fused_nhwc(feat: jnp.ndarray, masks: jnp.ndarray,
     return g / jnp.maximum(n, eps)[:, None, None]
 
 
+@jax.custom_vjp
+def _grams_raw_flat(f: jnp.ndarray, m2: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalized flat masked Grams: (P, C) × (K, P) m² -> (C, K·C).
+
+    G[c1, (k, c2)] = Σ_p f[p, c1] · m2[k, p] · f[p, c2] — a dim-0
+    `dot_general` of f against the (P, K·C) weighted block.
+
+    Custom VJP: G_k = Fᵀdiag(m²_k)F is quadratic in F, so
+        dF = Σ_k diag(m²_k) F (dG_k + dG_kᵀ) = Σ_k FW_k (dG_k + dG_kᵀ)
+    — ONE dot of the already-materialized weighted block FW against the
+    tiny symmetrized (K, C, C) cotangent. Autodiff of the mul+dot chain
+    instead makes three passes over the block per step (write dFW, read
+    FW for the direct term, read dFW for the mul backward — the two
+    ~230 µs ops in the round-3 512² trace); this backward makes one.
+    m² is a loop-invariant constant — its cotangent is zeros (DCE'd).
+    """
+    p, c = f.shape
+    k = m2.shape[0]
+    fw = (f[:, None, :] * m2.T[:, :, None]).reshape(p, k * c)
+    return jax.lax.dot_general(
+        f, fw, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (C, K·C)
+
+
+def _grams_raw_flat_fwd(f, m2):
+    p, c = f.shape
+    k = m2.shape[0]
+    fw = (f[:, None, :] * m2.T[:, :, None]).reshape(p, k * c)
+    g = jax.lax.dot_general(
+        f, fw, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return g, (fw, c, k)
+
+
+def _grams_raw_flat_bwd(res, dg):
+    fw, c, k = res
+    p = fw.shape[0]
+    dg = dg.reshape(c, k, c)
+    s = (dg + dg.transpose(2, 1, 0)).astype(fw.dtype)      # (C, K, C) sym
+    # contract fw's (k, c1) against s[c1, k, c2] -> free c2
+    df = jax.lax.dot_general(
+        fw.reshape(p, k, c), s.transpose(1, 0, 2),         # (K, C, C)
+        dimension_numbers=(((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32).astype(fw.dtype)
+    return df, jnp.zeros((k, p), fw.dtype)
+
+
+_grams_raw_flat.defvjp(_grams_raw_flat_fwd, _grams_raw_flat_bwd)
+
+
 def masked_grams_flat(f2d: jnp.ndarray, masks_flat: jnp.ndarray,
                       eps: float = 1e-8,
                       compute_dtype: str | jnp.dtype = "float32",
@@ -143,19 +196,17 @@ def masked_grams_flat(f2d: jnp.ndarray, masks_flat: jnp.ndarray,
     the sublane tile — with the loop-invariant masks permuted to match
     (vgg.perm_masks), so the (P, C) view costs no relayout copy. The
     contraction itself is `dot_general` over dim 0 of both operands (no
-    explicit fᵀ transpose op; the dot emitter picks the orientation).
+    explicit fᵀ transpose op), with the one-pass analytic backward of
+    `_grams_raw_flat`.
     """
-    p, c = f2d.shape
+    c = f2d.shape[1]
     k = masks_flat.shape[0]
     cdt = jnp.dtype(compute_dtype)
     f = f2d.astype(cdt)
     # the weighting is always m² ((m∘F)ᵀ(m∘F) = Fᵀdiag(m²)F); `norm`
     # only selects the normalizer below, as in masked_grams_fused
     m2 = masks_flat.astype(cdt) * masks_flat.astype(cdt)
-    fw = (f[:, None, :] * m2.T[:, :, None]).reshape(p, k * c)
-    g = jax.lax.dot_general(
-        f, fw, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (C, K·C)
+    g = _grams_raw_flat(f, m2)                             # (C, K·C)
     g = g.reshape(c, k, c).transpose(1, 0, 2)              # (K, C, C)
     m32 = masks_flat.astype(jnp.float32)
     n = (jnp.sum(m32 * m32, axis=1) if norm == "m2"
@@ -168,10 +219,13 @@ def masked_grams_flat(f2d: jnp.ndarray, masks_flat: jnp.ndarray,
 # 2048² layer) the block stops being worth storing. Measured on v5e:
 # fused 19.4 vs scan 15.1 it/s at 1024²/K=4 — fused wins while it fits.
 _FUSED_MAX_ELEMENTS = 3 << 27
-# Below this bound the custom-call layout tax beats the hybrid's HBM
-# saving (512²: hybrid 133.4 vs fused 134.3 it/s); above it the fused
-# backward's 3× block round trip dominates (1024² conv1_1: 33.0 vs
-# 31.9 it/s) — see gram_stream._gram_raw_hybrid.
+# The hybrid (XLA fused fwd + streamed Pallas bwd) rung existed because
+# autodiff of the fused chain re-walked the (P, K·C) block three times
+# in the backward (1024² conv1_1: hybrid 33.0 vs fused 31.9 it/s,
+# round 2). The analytic one-pass VJP (_grams_raw_flat) removed those
+# passes in pure XLA: re-measured 1024² full step fused 39.3 vs hybrid
+# 37.0 it/s — "auto" no longer routes hybrid; it stays an explicit
+# opt-in (see gram_stream._gram_raw_hybrid).
 _HYBRID_MIN_ELEMENTS = 1 << 27
 
 
@@ -184,9 +238,9 @@ def gram_route(h: int, w: int, k: int, c: int, gram_impl: str) -> str:
     weighted-block size on TPU, each step measured (ARCHITECTURE.md):
 
         elements = H·W·K·C      lowering            why it wins there
-        ≤ 2^27                  fused XLA wide dot  layout tax beats HBM
-        (2^27, 3·2^27]          hybrid              fused fwd + stream bwd
-        > 3·2^27                stream              scan is the alternative
+        ≤ 3·2^27                fused XLA wide dot  one-pass analytic VJP
+        > 3·2^27                stream              block never
+                                                    materializes
                                                     (2048²: 6.48 vs 4.16)
 
     Off-TPU "auto" is fused-or-scan (the kernels would run interpreted).
@@ -196,9 +250,7 @@ def gram_route(h: int, w: int, k: int, c: int, gram_impl: str) -> str:
     size = h * w * k * c
     if use_stream(h, w, k, c, gram_impl):
         return "stream"
-    if gram_impl == "hybrid" or (
-            gram_impl == "auto" and jax.default_backend() == "tpu"
-            and _HYBRID_MIN_ELEMENTS < size <= _FUSED_MAX_ELEMENTS):
+    if gram_impl == "hybrid":
         return "hybrid"
     if use_pallas(h, w, k, c, gram_impl):
         return "pallas"
