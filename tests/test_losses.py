@@ -166,6 +166,29 @@ def test_paper_style_norm_padding_invariant(rng):
     np.testing.assert_allclose(loss4, loss2, rtol=1e-6)
 
 
+def test_grams_raw_flat_analytic_vjp(rng):
+    """The one-pass custom VJP of _grams_raw_flat equals autodiff of the
+    same mul+dot chain — soft (non-binary) masks, arbitrary cotangent."""
+    import jax
+    f = rng.normal(size=(48, 8)).astype(np.float32)
+    m2 = rng.uniform(size=(3, 48)).astype(np.float32)
+    ct = rng.normal(size=(8, 24)).astype(np.float32)       # (C, K·C)
+
+    def ref(f, m2):
+        fw = (f[:, None, :] * m2.T[:, :, None]).reshape(48, 24)
+        return jax.lax.dot_general(
+            f, fw, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def proj(fn):
+        return lambda f: jnp.vdot(fn(f, jnp.asarray(m2)), jnp.asarray(ct))
+
+    g_custom = jax.grad(proj(losses._grams_raw_flat))(jnp.asarray(f))
+    g_ref = jax.grad(proj(ref))(jnp.asarray(f))
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_gram_route_ladder(monkeypatch):
     """The size-laddered auto routing (measured bounds, ARCHITECTURE.md)
     and explicit-impl forcing resolve as documented."""
