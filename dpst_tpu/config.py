@@ -92,6 +92,9 @@ class StylizeConfig:
     # Applied per layer, where strips are active AND the layer is
     # style-only AND routes to the fused Gram (the flat form
     # materializes the same (P, K·C) block the fused lowering does).
+    # "permh" = like "perm" but WITHOUT the interior slice — halo rows
+    # zero-weighted via the masks instead (exact; measured-negative:
+    # 148.8 vs 161.1 @512², the +25% block HBM beats the saved slice).
     strip_gram: str = "auto"
     # Block-1/2 activation STREAMING (models/vgg.stream_block12_grams):
     # the single-chip path for ≥3072²-class images, where block-1/2
@@ -299,7 +302,7 @@ class StylizeConfig:
             # program — canonicalize so the executable is shared
             # (ADVICE r2).
             object.__setattr__(self, "s2b_strips", 0)
-        if self.strip_gram not in ("auto", "interior", "perm"):
+        if self.strip_gram not in ("auto", "interior", "perm", "permh"):
             raise ValueError(f"unknown strip_gram {self.strip_gram!r}")
         if self.history_terms not in ("auto", "full", "total"):
             raise ValueError(

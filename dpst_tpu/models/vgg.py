@@ -536,6 +536,33 @@ def perm_masks(mask: jnp.ndarray, strips: int) -> jnp.ndarray:
     return m.transpose(0, 2, 3, 1).reshape(k, own * w * strips)
 
 
+def perm_flatten_halo(tap: "StripTap") -> jnp.ndarray:
+    """`perm_flatten` WITHOUT the interior slice: the full (S, own+2h,
+    W, C) strip tensor flattened in layout order — always a bitcast.
+
+    Pair with `perm_masks_halo`, which zeroes every halo row's weight:
+    halo pixels (duplicated across strips) then carry zero Gram weight
+    AND zero cotangent, so the Gram is exactly the sliced tap's. The
+    trade: the weighted block grows by the 2h/own halo fraction (+25%
+    at 64-row strips), but the 33 MB sliced-activation materialization
+    (slice.606 + its backward pad in the round-3 trace) disappears —
+    both the Gram and the next conv read the ORIGINAL tensor.
+    """
+    s, rf, w, c = tap.data.shape
+    return tap.data.transpose(1, 2, 0, 3).reshape(rf * w * s, c)
+
+
+def perm_masks_halo(mask: jnp.ndarray, strips: int, halo: int
+                    ) -> jnp.ndarray:
+    """(K, H, W) layer masks -> (K, P) in `perm_flatten_halo`'s pixel
+    order, with zeros in every halo row. Loop-invariant, hoisted."""
+    k, h, w = mask.shape
+    own = h // strips
+    m = mask.reshape(k, strips, own, w)
+    m = jnp.pad(m, ((0, 0), (0, 0), (halo, halo), (0, 0)))
+    return m.transpose(0, 2, 3, 1).reshape(k, (own + 2 * halo) * w * strips)
+
+
 def strip_masks(mask: jnp.ndarray, halo: int, own: int) -> jnp.ndarray:
     """(K, H, W) layer masks -> (K, S·(own+2·halo), W) strip-form masks
     with zeros in every halo row (see StripTap). Loop-invariant given

@@ -103,6 +103,7 @@ def _strip_gram_perm(cfg: StylizeConfig, image_shape, all_layers,
     """
     if cfg.strip_gram == "interior":
         return ()
+    # "permh" gates identically; only the flatten/mask pair differs
     h, w = image_shape[:2]
     if not vgg.s2b_active(cfg.s2b_strips, h, w, all_layers):
         return ()
@@ -214,11 +215,19 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                     if not isinstance(tap, vgg.StripTap):
                         continue
                     if l in perm_layers:
+                        if cfg.strip_gram == "permh":
+                            # no interior slice: full strip tensor
+                            # (bitcast) + halo rows zeroed via masks
+                            f2d = vgg.perm_flatten_halo(tap)
+                            mfl = vgg.perm_masks_halo(
+                                consts.masks[l], tap.data.shape[0],
+                                tap.halo)
+                        else:
+                            f2d = vgg.perm_flatten(tap)
+                            mfl = vgg.perm_masks(consts.masks[l],
+                                                 tap.data.shape[0])
                         g_out[l] = losses.masked_grams_flat(
-                            vgg.perm_flatten(tap),
-                            vgg.perm_masks(consts.masks[l],
-                                           tap.data.shape[0]),
-                            compute_dtype=cfg.compute_dtype,
+                            f2d, mfl, compute_dtype=cfg.compute_dtype,
                             norm=gram_norm)
                         del feats[l]
                     else:

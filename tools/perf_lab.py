@@ -39,6 +39,7 @@ VARIANTS = {
     "s2b8+rblock1": {"s2b_strips": 8, "remat": "block1"},
     "s2b8+avg": {"s2b_strips": 8, "pooling": "avg"},
     "s2b8+permgram": {"s2b_strips": 8, "strip_gram": "perm"},
+    "s2b8+permhgram": {"s2b_strips": 8, "strip_gram": "permh"},
 }
 
 # XLA compiler-option variants: the axon remote-compile service accepts
