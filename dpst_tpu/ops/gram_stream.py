@@ -76,7 +76,8 @@ def use_stream(h: int, w: int, k: int, c: int, gram_impl: str) -> bool:
     operand constraint relayouts the conv-emitter-layout taps and the
     fᵀ/dft transposes add full-tensor copies; same layout tax that sank
     pool_pallas/gram_pallas). But once the (P, K·C) weighted block
-    exceeds the fused bound (3·2²⁷ elements, losses.style_layer_loss)
+    exceeds the fused bound (losses._FUSED_MAX_ELEMENTS — 2^29 since
+    the analytic one-pass Gram VJP; was 3·2^27)
     the XLA fallback is a per-class scan, and streaming crushes it:
     2048² full step 6.48 vs 4.16 it/s (+56%). Unlike the hybrid (which
     matched it there, 6.52), the stream forward never materializes the
@@ -85,7 +86,8 @@ def use_stream(h: int, w: int, k: int, c: int, gram_impl: str) -> bool:
         return True
     if gram_impl != "auto" or jax.default_backend() != "tpu":
         return False
-    return h * w * k * c > (3 << 27)
+    from .losses import _FUSED_MAX_ELEMENTS
+    return h * w * k * c > _FUSED_MAX_ELEMENTS
 
 
 def _fwd_kernel(ft_ref, f_ref, m2_ref, out_ref, *, k: int):

@@ -215,10 +215,13 @@ def masked_grams_flat(f2d: jnp.ndarray, masks_flat: jnp.ndarray,
 
 
 # The fused path materializes the (P, K·C) mask-weighted block; beyond
-# this bound (> 805 MB bf16, e.g. conv1_1 at 1024² with K=8 or any
-# 2048² layer) the block stops being worth storing. Measured on v5e:
-# fused 19.4 vs scan 15.1 it/s at 1024²/K=4 — fused wins while it fits.
-_FUSED_MAX_ELEMENTS = 3 << 27
+# this bound the block stops being worth storing and "auto" streams
+# (gram_stream.use_stream reads this constant). The analytic one-pass
+# VJP moved the bound up from 3·2^27: with the backward's extra block
+# passes gone, storing a 1 GB block still wins — 2048² full step 6.88
+# (conv2_1 = 2^29 elements fused) vs 6.74 it/s (streamed). conv1_1 at
+# 2048² (2^30, a 2.1 GB block) stays streamed.
+_FUSED_MAX_ELEMENTS = 1 << 29
 # The hybrid (XLA fused fwd + streamed Pallas bwd) rung existed because
 # autodiff of the fused chain re-walked the (P, K·C) block three times
 # in the backward (1024² conv1_1: hybrid 33.0 vs fused 31.9 it/s,

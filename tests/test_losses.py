@@ -219,4 +219,8 @@ def test_gram_route_ladder(monkeypatch):
     assert gram_route(2048, 2048, 4, 64, "auto") == "stream"   # 2^30
     assert gram_route(512, 512, 4, 128, "auto") == "fused"     # 2^27
     assert gram_route(512, 512, 4, 256, "auto") == "fused"     # 2^28
+    # the bound moved to 2^29 with the analytic VJP (2048² conv2_1
+    # fused 6.88 vs streamed 6.74 it/s); boundary stays fused
+    assert gram_route(1024, 1024, 4, 128, "auto") == "fused"   # 2^29
+    assert gram_route(1024, 1024, 8, 128, "auto") == "stream"  # 2^30
     assert jax.default_backend() == "tpu"                      # patched
