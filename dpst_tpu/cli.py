@@ -391,13 +391,11 @@ def _run_batch_dir(args, cfg, size):
         from . import segmentation
         from .models import pspnet
         seg_params = pspnet.get_params()
-        cms, sms = [], []
-        for c in contents:
-            cm, sm, _ = segmentation.automatic_masks(c, style, cfg,
-                                                     seg_params)
-            cms.append(cm)
-            sms.append(sm)
-        cmasks, smasks = np.stack(cms), np.stack(sms)
+        # one batched PSPNet dispatch for all contents + one for the
+        # style (vs 2N dispatch-bound calls — segmentation.automatic_
+        # masks_batch)
+        cmasks, smasks = segmentation.automatic_masks_batch(
+            contents, style, cfg, seg_params)
     else:
         ones = uniform_masks(hw)
         cmasks = np.broadcast_to(ones, (len(paths),) + ones.shape).copy()

@@ -272,6 +272,40 @@ def _scale_process(params: dict, image: jnp.ndarray,
     return (canvas / count)[ph0:ph0 + h, pw0:pw0 + w]
 
 
+def segment_batch(params: dict, images: jnp.ndarray,
+                  compute_dtype: str = "bfloat16",
+                  chunk: int = 8) -> jnp.ndarray:
+    """(N, H, W, 3) [0,255] RGB -> (N, H, W) int32 class maps in
+    ⌈N/chunk⌉ forwards (resize protocol only).
+
+    Batch-dir stylization segments every content image; per-image
+    `segment` calls each pay the ~100 ms remote-dispatch floor while
+    the 473² network itself runs at ~136 images/s device-resident
+    (ARCHITECTURE.md) — batching makes segmentation network-bound
+    instead of dispatch-bound. Batches run in FIXED-size chunks (the
+    tail zero-padded and discarded) so every directory size reuses the
+    single compiled (chunk, 473, 473, 3) program instead of minting a
+    fresh ~30 s compile per distinct N.
+    """
+    imgs = jnp.asarray(images, jnp.float32)
+    n, h, w = imgs.shape[:3]
+    outs = []
+    for i in range(0, n, chunk):
+        part = imgs[i:i + chunk]
+        pad = chunk - part.shape[0]
+        if pad:
+            part = jnp.concatenate(
+                [part, jnp.zeros((pad, h, w, 3), part.dtype)])
+        x = jax.image.resize(part, (chunk, EVAL_SIZE, EVAL_SIZE, 3),
+                             "bilinear")
+        logits = forward(params, x, compute_dtype)
+        logits = jax.image.resize(logits, (chunk, h, w, N_CLASSES),
+                                  "bilinear")
+        seg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        outs.append(seg[:chunk - pad] if pad else seg)
+    return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
 def segment(params: dict, image: jnp.ndarray,
             compute_dtype: str = "bfloat16", *,
             protocol: str = "resize", base_size: int | None = None,

@@ -84,6 +84,42 @@ def automatic_masks(content: np.ndarray, style: np.ndarray,
     return mc, ms, class_ids
 
 
+def automatic_masks_batch(contents: np.ndarray, style: np.ndarray,
+                          cfg, params=None
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """`automatic_masks` for N content images sharing one style:
+    (N, H, W, 3) + (H, W, 3) -> ((N, K, H, W), (N, K, H, W)).
+
+    Segments ALL contents in one batched PSPNet dispatch and the style
+    ONCE (the per-pair loop re-segments the style N times and pays the
+    ~100 ms remote-dispatch floor per call — ARCHITECTURE.md); the
+    label-set merge stays per pair (each content sees different
+    classes). Resize protocol only — the sliding protocol's per-scale
+    window geometry is image-specific, so it falls back to the loop.
+    """
+    from .models import pspnet
+    if params is None:
+        params = pspnet.get_params()
+    if cfg.seg_protocol != "resize":
+        pairs = [automatic_masks(c, style, cfg, params) for c in contents]
+        return (np.stack([p[0] for p in pairs]),
+                np.stack([p[1] for p in pairs]))
+    seg_c_all = np.asarray(pspnet.segment_batch(
+        params, jnp.asarray(contents), cfg.compute_dtype))
+    seg_s = np.asarray(pspnet.segment(
+        params, jnp.asarray(style), cfg.compute_dtype))
+    from . import semantic_merge
+    cms, sms = [], []
+    for seg_c in seg_c_all:
+        merged_c, merged_s, ids = semantic_merge.merge_classes(
+            seg_c, seg_s, metric=cfg.similarity_metric,
+            threshold=cfg.similarity_threshold,
+            max_classes=cfg.max_classes)
+        cms.append(masks_from_labels(merged_c, ids, cfg.max_classes))
+        sms.append(masks_from_labels(merged_s, ids, cfg.max_classes))
+    return np.stack(cms), np.stack(sms)
+
+
 def coverage_weights(content_masks: jnp.ndarray) -> jnp.ndarray:
     """(K,) per-class style-loss weights = content-image coverage fraction.
 

@@ -172,6 +172,27 @@ def test_cli_content_dir_batch(image_files, tmp_path):
     assert "stylized 4 images" in res.stdout
 
 
+def test_cli_content_dir_batch_with_segmentation(image_files, tmp_path):
+    """--content-dir with automatic segmentation goes through the
+    batched path (segmentation.automatic_masks_batch — one chunked
+    PSPNet dispatch for all contents + one for the style)."""
+    c, s, d = image_files
+    r = np.random.default_rng(78)
+    src = tmp_path / "segsrc"
+    src.mkdir()
+    for i in range(2):
+        io.save_image(r.uniform(0, 255, (24, 24, 3)),
+                      str(src / f"img{i}.png"))
+    outdir = str(tmp_path / "segout")
+    res = _run_cli(["--content-dir", str(src), "--style", s,
+                    "--output", outdir, "--size", "24",
+                    "--iterations", "2", "--no-photorealism",
+                    "--max-classes", "4", "--dtype", "float32",
+                    "--no-compile-cache"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert sorted(os.listdir(outdir)) == ["img0.png", "img1.png"]
+
+
 def test_cli_requires_content_or_dir(image_files):
     c, s, _ = image_files
     res = _run_cli(["--style", s])

@@ -178,3 +178,21 @@ class TestAutomaticMasks:
         # each pixel belongs to exactly one class (partition of unity)
         np.testing.assert_allclose(mc.sum(0), np.ones(image.shape[:2]))
         np.testing.assert_allclose(ms.sum(0), np.ones(style.shape[:2]))
+
+    def test_batch_matches_per_pair(self, image):
+        """automatic_masks_batch (one batched PSPNet dispatch for all
+        contents + one for the style) reproduces the per-pair loop."""
+        from dpst_tpu import StylizeConfig
+        from dpst_tpu import segmentation
+        from dpst_tpu.models import pspnet
+        cfg = StylizeConfig(max_classes=4, compute_dtype="float32")
+        style = image[::-1].copy()
+        contents = np.stack([image, np.roll(image, 7, axis=1)])
+        p = pspnet.init_params(0)
+        cm_b, sm_b = segmentation.automatic_masks_batch(
+            contents, style, cfg, p)
+        assert cm_b.shape == (2, 4) + image.shape[:2]
+        for i, c in enumerate(contents):
+            mc, ms, _ = segmentation.automatic_masks(c, style, cfg, p)
+            np.testing.assert_array_equal(cm_b[i], mc)
+            np.testing.assert_array_equal(sm_b[i], ms)
