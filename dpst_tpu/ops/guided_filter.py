@@ -40,6 +40,20 @@ def _box(x: jnp.ndarray, r: int) -> jnp.ndarray:
         x, 0.0, jax.lax.add, (k, k, 1), (1, 1, 1), "SAME")
 
 
+def _box_counts(h: int, w: int, r: int) -> jnp.ndarray:
+    """Border-aware per-pixel window pixel counts, (H, W, 1) fp32.
+
+    Closed form of `_box(ones)`: a SAME (2r+1)-window at position i
+    holds min(i, r) + 1 + min(H-1-i, r) rows — computed as a separable
+    outer product of two 1-D count vectors instead of reduce_window
+    over a constant ones image (which XLA constant-folds with a
+    slow-compile warning)."""
+    def axis_counts(n: int) -> jnp.ndarray:
+        i = jnp.arange(n, dtype=jnp.float32)
+        return jnp.minimum(i, r) + 1.0 + jnp.minimum(n - 1 - i, r)
+    return (axis_counts(h)[:, None] * axis_counts(w)[None, :])[..., None]
+
+
 @partial(jax.jit, static_argnames=("radius",))
 def guided_filter(guide: jnp.ndarray, src: jnp.ndarray,
                   radius: int = 2, eps: float = 1e-4) -> jnp.ndarray:
@@ -55,7 +69,7 @@ def guided_filter(guide: jnp.ndarray, src: jnp.ndarray,
     h, w, _ = guide.shape
     c = src.shape[-1]
 
-    n = _box(jnp.ones((h, w, 1), jnp.float32), radius)        # counts
+    n = _box_counts(h, w, radius)                             # counts
     mu = _box(guide, radius) / n                               # (H,W,3)
     pbar = _box(src, radius) / n                               # (H,W,C)
 
