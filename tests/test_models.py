@@ -179,6 +179,21 @@ class TestAutomaticMasks:
         np.testing.assert_allclose(mc.sum(0), np.ones(image.shape[:2]))
         np.testing.assert_allclose(ms.sum(0), np.ones(style.shape[:2]))
 
+    def test_segment_batch_chunking(self, image):
+        """segment_batch's fixed-size chunking (tail zero-padded and
+        discarded) returns the same labels regardless of chunk size."""
+        import jax.numpy as jnp
+        from dpst_tpu.models import pspnet
+        p = pspnet.init_params(0)
+        imgs = np.stack([image, np.roll(image, 5, axis=0),
+                         image[::-1].copy()])
+        a = np.asarray(pspnet.segment_batch(
+            p, jnp.asarray(imgs), "float32", chunk=2))  # 2 chunks + pad
+        b = np.asarray(pspnet.segment_batch(
+            p, jnp.asarray(imgs), "float32", chunk=8))  # 1 padded chunk
+        assert a.shape == (3,) + image.shape[:2]
+        np.testing.assert_array_equal(a, b)
+
     def test_batch_matches_per_pair(self, image):
         """automatic_masks_batch (one batched PSPNet dispatch for all
         contents + one for the style) reproduces the per-pair loop."""
