@@ -229,7 +229,6 @@ _FUSED_MAX_ELEMENTS = 1 << 29
 # passes in pure XLA: re-measured 1024² full step fused 39.3 vs hybrid
 # 37.0 it/s — "auto" no longer routes hybrid; it stays an explicit
 # opt-in (see gram_stream._gram_raw_hybrid).
-_HYBRID_MIN_ELEMENTS = 1 << 27
 
 
 def gram_route(h: int, w: int, k: int, c: int, gram_impl: str) -> str:
