@@ -148,6 +148,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--pool-impl",
                    choices=("auto", "pallas", "xla", "noties", "postact"),
                    default="auto", help="max-pool backward backend")
+    g.add_argument("--block1-impl",
+                   choices=("auto", "s2d", "conv"),
+                   default="auto",
+                   help="VGG block-1 lowering: auto = space-to-depth "
+                        "2x2 convs on TPU below 2^19 px, s2d forces "
+                        "it, conv keeps the direct 3x3 emitters")
     g.add_argument("--remat",
                    choices=("none", "full", "block1", "block12"),
                    default="none",
@@ -222,6 +228,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "pool_impl": "pool_impl", "remat": "remat",
             "s2b_strips": "s2b_strips",
             "stream12": "stream12",
+            "block1_impl": "block1_impl",
             "history_terms": "history_terms",
         }
         for flag, field in flag_to_field.items():
@@ -278,6 +285,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         pool_impl=args.pool_impl,
         s2b_strips=args.s2b_strips,
         stream12=args.stream12,
+        block1_impl=args.block1_impl,
         remat=args.remat,
         history_terms=args.history_terms,
     )

@@ -81,6 +81,16 @@ class StylizeConfig:
     # redundant conv FLOPs in those blocks (512² full step: 135.2 vs
     # 121.5 it/s). Exact: strip interiors are the undecomposed values.
     s2b_strips: int = -1
+    # Block-1 conv lowering (models/vgg._block1_s2d): "auto" = space-to-
+    # depth on TPU below 2^19 px (conv1_1/conv1_2 as full-lane 2×2 convs
+    # between half-cell-shifted s2d grids, pool1 as a free parity max —
+    # the 64-channel 3×3 emitters underfill the MXU; 163.4 -> 171.9 it/s
+    # on the 512² full step but 39.3 -> 37.7 @1024² where HBM dominates,
+    # campaign #7); "s2d" forces it, "conv" keeps the direct 3×3
+    # emitters. Exact: same arithmetic, boundary semantics pinned by
+    # tests/test_s2d.py. Taken in the loss only where block-1 taps are
+    # style-only and fused-routed (optimize._block1_s2d_ok).
+    block1_impl: str = "auto"
     # How the masked Gram consumes block-1/2 taps when the strip path is
     # active: "interior" = slice strips back to image order and flatten
     # (H·W, C) — XLA pays relayout copies moving the tap out of the
@@ -223,6 +233,9 @@ class StylizeConfig:
             # strip slicing along the row axis would gather across
             # shards; XLA's own rewrite partitions correctly instead
             s2b_strips=0, strip_gram="interior",
+            # the s2d grids' odd-cell slices would likewise gather
+            # across row shards; the direct convs partition cleanly
+            block1_impl="conv",
             # the strip scan's slices likewise; row-sharded meshes are
             # the multi-chip answer to the same memory regime
             stream12=0, stream12_impl="scan",
@@ -248,6 +261,7 @@ class StylizeConfig:
             scales=(), scale_iter_factor=1.0,
             style_layer_weights=(1.0,) * len(self.style_layers),
             remat="none", s2b_strips=0, strip_gram="interior",
+            block1_impl="conv",
             stream12=0, stream12_impl="scan", history_terms="auto",
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
@@ -304,6 +318,8 @@ class StylizeConfig:
             object.__setattr__(self, "s2b_strips", 0)
         if self.strip_gram not in ("auto", "interior", "perm", "permh"):
             raise ValueError(f"unknown strip_gram {self.strip_gram!r}")
+        if self.block1_impl not in ("auto", "s2d", "conv"):
+            raise ValueError(f"unknown block1_impl {self.block1_impl!r}")
         if self.history_terms not in ("auto", "full", "total"):
             raise ValueError(
                 f"unknown history_terms {self.history_terms!r}")

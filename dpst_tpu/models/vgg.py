@@ -574,6 +574,382 @@ def strip_masks(mask: jnp.ndarray, halo: int, own: int) -> jnp.ndarray:
     return m.reshape(k, s * (own + 2 * halo), w)
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth block 1 (round-3 conv campaign #7).
+#
+# Block-1 convs are 64-channel 3×3s — XLA's conv emitter runs them at
+# ~16% MXU (the contraction depth and the 64-of-128 output lanes both
+# underfill the systolic array; round-3 trace: conv1_2 fwd+bwd ≈ 850
+# µs/step of the 5.86 ms 512² step). In space-to-depth form the same
+# arithmetic is a 2×2 conv over 4×-packed channels (12→256, 256→256):
+# measured 46-48 useful TF/s vs 28-32 for the 3×3 forms (scan-amortized
+# A/B on v5e) — the 16/9 structural-zero tap inflation is cheaper than
+# the underfilled MXU. Block 2 measured the OPPOSITE (51 vs 56-64 TF/s
+# at 128→512 channels), so only block 1 transforms.
+#
+# Grid scheme (what makes it exact with zero inter-conv relayouts): a
+# stride-1 3×3 conv maps between HALF-CELL-SHIFTED s2d grids. With
+# input cells holding pixel pairs {2i, 2i+1} ("aligned") and output
+# slots (o, p) holding pixel 2o+p−1 ("odd", one garbage slot per edge),
+# every tap of output pixel r = 2o+p−1 lies in input cells {o−1, o} —
+# a 2×2 VALID conv. The same index map (dy = 2u+a−p) takes the odd grid
+# back to aligned, so conv1_1 (aligned→odd) and conv1_2 (odd→aligned)
+# chain directly, and pool1's 2×2 stride-2 windows coincide with the
+# aligned output cells — the pool is a free max over the 4 parity
+# channel groups, landing bit-in-place on the post-pool1 strip tensor
+# the rest of the network already consumes.
+# ---------------------------------------------------------------------------
+
+
+def _s2d_kernel(w3: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) stride-1 SAME kernel -> its (2, 2, 4Ci, 4Co) s2d
+    form between half-cell-shifted grids.
+
+    Input channel (ay·2+ax)·Ci+ci holds parity (ay, ax) of the input
+    cell; output channel (py·2+px)·Co+co holds output pixel parity.
+    Tap (u, a, p) corresponds to original offset d = 2u+a−p; the seven
+    (of sixteen) combinations with d outside [0, 2] are structural
+    zeros. Loop-invariant given the weights — built once per dispatch.
+    """
+    ci, co = w3.shape[2], w3.shape[3]
+    zero = jnp.zeros((ci, co), w3.dtype)
+    cells = []
+    for uy in range(2):
+        for ux in range(2):
+            rows = []
+            for ay in range(2):
+                for ax in range(2):
+                    cols = []
+                    for py in range(2):
+                        for px in range(2):
+                            dy, dx = 2 * uy + ay - py, 2 * ux + ax - px
+                            cols.append(
+                                w3[dy, dx]
+                                if 0 <= dy <= 2 and 0 <= dx <= 2 else zero)
+                    rows.append(jnp.concatenate(cols, axis=1))   # (ci, 4co)
+            cells.append(jnp.concatenate(rows, axis=0))          # (4ci, 4co)
+    return jnp.stack(cells).reshape(2, 2, 4 * ci, 4 * co)
+
+
+def _s2d_cells(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, R, W, C) -> aligned s2d cells (B, R/2, W/2, 4C); channel
+    order (py·2+px)·C+c."""
+    b, r, w, c = x.shape
+    return (x.reshape(b, r // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, r // 2, w // 2, 4 * c))
+
+
+def _s2d_conv(x: jnp.ndarray, k: jnp.ndarray, cdt) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=cdt)
+
+
+def _s2d_zero_oob(t: jnp.ndarray, off: int, base, hi: int,
+                  w_img: int) -> jnp.ndarray:
+    """Zero slots whose pixel lies beyond the image (the s2d analogue of
+    _zero_oob, plus the odd grid's garbage edge slots). Slot (o, p) on a
+    grid with offset `off` holds local pixel 2o+p+off; global row =
+    base[b] + local. The row/column validity masks are integer-arange
+    constants XLA folds outside the scan; the two broadcasts fuse into
+    the conv epilogue (no (…, 2, 2, C) reshape of the activation)."""
+    s, nr, nc, c4 = t.shape
+    c = c4 // 4
+    lr = 2 * jnp.arange(nr)[:, None] + jnp.arange(2)[None, :] + off
+    gr = jnp.asarray(base)[:, None, None] + lr[None]          # (S, nr, 2)
+    okr = (gr >= 0) & (gr < hi)
+    lc = 2 * jnp.arange(nc)[:, None] + jnp.arange(2)[None, :] + off
+    okc = (lc >= 0) & (lc < w_img)                            # (nc, 2)
+    pyc = jnp.arange(c4) // (2 * c)           # channel -> row parity
+    pxc = (jnp.arange(c4) // c) % 2           # channel -> col parity
+    rm = okr[:, :, pyc]                                       # (S, nr, 4C)
+    cm = okc[:, pxc]                                          # (nc, 4C)
+    return t * rm[:, :, None, :].astype(t.dtype) * cm[None, None].astype(
+        t.dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+class S2dTap:
+    """A block-1 tap left in s2d grid form (extract_features block1_impl
+    ="s2d"). `data` is (S, nr, nc, 4C); slot (o, p) of strip s holds the
+    activation at local pixel 2o+p+off (off = −1 for the odd grid that
+    conv1_1 produces, 0 for the aligned grid of conv1_2). Consume via
+    s2d_flatten + s2d_masks (the masked Gram is pixel-permutation-
+    invariant, and halo / beyond-image / garbage slots carry zero mask
+    weight — so the Gram and its gradient are exactly the plain tap's).
+    halo_px/own_px are strip metadata in PIXELS (0/R for a plain batch).
+    """
+
+    def __init__(self, data, off: int, halo_px: int, own_px: int,
+                 w_img: int, strip: bool = True, bias=None):
+        self.data = data
+        self.off = off
+        self.halo_px = halo_px
+        self.own_px = own_px
+        self.w_img = w_img
+        self.strip = strip
+        # RAW taps carry the conv bias and cook (bias + ReLU) at the
+        # point of consumption: sharing the COOKED activation between
+        # conv1_2 and the Gram made XLA place the epilogue in the
+        # Gram's layout and relayout-copy it both ways, fwd and bwd
+        # (~0.46 ms/step in the round-3 trace). With the raw tensor as
+        # the only shared value, each consumer fuses its own epilogue
+        # in its own layout. Boundary zeroing is NOT applied here: the
+        # Gram's mask weights are zero at every halo/garbage/oob slot,
+        # which zeroes both the contribution and the cotangent.
+        self.bias = bias
+
+    def tree_flatten(self):
+        return (self.data, self.bias), (self.off, self.halo_px,
+                                        self.own_px, self.w_img,
+                                        self.strip)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux, bias=children[1])
+
+    def _cooked(self) -> jnp.ndarray:
+        if self.bias is None:
+            return self.data
+        return _relu(self.data + self.bias)
+
+    def plain(self) -> jnp.ndarray:
+        """Materialize the equivalent image-order tap: (H, W, C) for
+        strip form, (B, H, W, C) for a plain batch (tests/debug).
+        The interior slice keeps only globally valid pixels, so the
+        cooked raw tensor needs no boundary zeroing."""
+        d = self._cooked()
+        s, nr, nc, c4 = d.shape
+        c = c4 // 4
+        t = (d.reshape(s, nr, nc, 2, 2, c)
+             .transpose(0, 1, 3, 2, 4, 5).reshape(s, 2 * nr, 2 * nc, c))
+        r0, c0 = self.halo_px - self.off, -self.off
+        t = t[:, r0:r0 + self.own_px, c0:c0 + self.w_img]
+        if self.strip:
+            return t.reshape(s * self.own_px, self.w_img, c)
+        return t
+
+
+def s2d_flatten(tap: "S2dTap") -> jnp.ndarray:
+    """S2dTap -> (P, C) rows for the fused masked Gram (losses.
+    masked_grams_flat). Slices the row cells down to the smallest range
+    covering the strip interior (the odd grid's interior boundary
+    straddles cells, so one halo pixel per edge stays in — zero-weighted
+    by s2d_masks; +3.5% block vs the exact interior, against the 25%
+    the halo-keeping variants pay) and flattens (strip, row-cell,
+    col-cell, parity) — a plain row-major reshape of the conv output.
+    """
+    d = tap._cooked()
+    if tap.halo_px:
+        o0 = tap.halo_px // 2
+        d = d[:, o0:o0 + tap.own_px // 2 + (1 if tap.off else 0)]
+    s, nr, nc, c4 = d.shape
+    return d.reshape(s * nr * nc * 4, c4 // 4)
+
+
+def s2d_masks(mask: jnp.ndarray, strips: int, halo_px: int,
+              off: int = -1) -> jnp.ndarray:
+    """(K, H, W) layer masks -> (K, P) in s2d_flatten's slot order for a
+    tap on the grid with offset `off` (−1 = odd, the conv1_1 grid; 0 =
+    aligned, conv1_2's), with zeros at halo, beyond-image and garbage
+    slots. Loop-invariant given the mask constants — hoisted out of the
+    optimization scan."""
+    k, h, w = mask.shape
+    own = h // strips
+    m = mask.reshape(k, strips, own, w)
+    # rows: cover local pixels off .. own+2·halo−1−off (halo zeros, plus
+    # the odd grid's garbage row per edge); cols: pixels off .. w−1−off
+    g = 1 if off else 0
+    m = jnp.pad(m, ((0, 0), (0, 0), (halo_px + g, halo_px + g), (g, g)))
+    r2, w2 = m.shape[2], m.shape[3]
+    m = (m.reshape(k, strips, r2 // 2, 2, w2 // 2, 2)
+         .transpose(0, 1, 2, 4, 3, 5))        # (K, S, ro, co, py, px)
+    o0 = halo_px // 2
+    m = m[:, :, o0:o0 + own // 2 + g]
+    return m.reshape(k, -1)
+
+
+def s2d_flatten_par(tap: "S2dTap") -> list:
+    """S2dTap -> four (P, C) parity slices for the multi-part masked
+    Gram (losses.masked_grams_flat_multi). Each slice is 64 lanes of
+    the 4C channel dim plus a leading-dims-only collapse — no
+    lane-regrouping reshape (the interleaved s2d_flatten measured
+    ~0.9 ms/step of relayout copies in the round-3 trace; the parity
+    slices keep the conv output's own minor dim). Pair with
+    s2d_masks_par (reshaped flat); the Gram sum splits over any pixel
+    partition, so the per-parity split is exact. Row cells are sliced
+    to the smallest interior-covering range as in s2d_flatten. The hot
+    loop instead uses s2d_slices_par + the nd Gram (even the
+    leading-dims reshape here costs slice copies)."""
+    d = tap.data
+    if tap.halo_px:
+        o0 = tap.halo_px // 2
+        d = d[:, o0:o0 + tap.own_px // 2 + (1 if tap.off else 0)]
+    s, nr, nc, c4 = d.shape
+    c = c4 // 4
+    return [d[..., i * c:(i + 1) * c].reshape(s * nr * nc, c)
+            for i in range(4)]
+
+
+def s2d_slices_par(tap: "S2dTap") -> list:
+    """S2dTap -> four UNFLATTENED (S, nr, nc, C) parity lane-slices for
+    the nd masked Gram (losses.masked_grams_nd_multi) — the dot
+    contracts the pixel dims in place, so the slice fuses into the
+    Gram's weighting mul instead of materializing (s2d_flatten_par's
+    reshape measured ~0.5 ms/step of slice/relayout copies). Raw taps
+    cook (bias + ReLU) per slice AFTER slicing — deliberately NOT the
+    same subgraph as the conv1_2 input's epilogue, so CSE cannot merge
+    them back into one layout-shared tensor (see S2dTap.bias)."""
+    d = tap.data
+    if tap.halo_px:
+        o0 = tap.halo_px // 2
+        d = d[:, o0:o0 + tap.own_px // 2 + (1 if tap.off else 0)]
+    c = d.shape[3] // 4
+    out = []
+    for i in range(4):
+        sl = d[..., i * c:(i + 1) * c]
+        if tap.bias is not None:
+            sl = _relu(sl + tap.bias[i * c:(i + 1) * c])
+        out.append(sl)
+    return out
+
+
+def s2d_masks_par(mask: jnp.ndarray, strips: int, halo_px: int,
+                  off: int = -1) -> list:
+    """(K, H, W) layer masks -> four per-parity GRID masks
+    (K, S, ro, co) in s2d_slices_par's slot order (halo / beyond-image
+    / garbage slots zero). Loop-invariant given the mask constants —
+    built outside the optimization scan (StylizeConstants.
+    s2d_mask_parts; XLA's while-loop LICM won't hoist these buffers)."""
+    k, h, w = mask.shape
+    own = h // strips
+    m = mask.reshape(k, strips, own, w)
+    g = 1 if off else 0
+    m = jnp.pad(m, ((0, 0), (0, 0), (halo_px + g, halo_px + g), (g, g)))
+    r2, w2 = m.shape[2], m.shape[3]
+    m = m.reshape(k, strips, r2 // 2, 2, w2 // 2, 2)
+    o0 = halo_px // 2
+    m = m[:, :, o0:o0 + own // 2 + g]
+    return [m[:, :, :, py, :, px]
+            for py in range(2) for px in range(2)]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _parity_pool(x: jnp.ndarray, pool_impl: str = "xla") -> jnp.ndarray:
+    """2×2 stride-2 max pool of an aligned-grid s2d tensor: the pool
+    windows ARE the cells, so the pool is a max over the 4 parity
+    channel groups — pure elementwise VPU work on 64-lane slices (a
+    (…, 4, C) reshape instead measured ~0.26 ms/step of relayout in
+    the backward; lane slices fuse)."""
+    c = x.shape[3] // 4
+    sl = [x[..., i * c:(i + 1) * c] for i in range(4)]
+    return jnp.maximum(jnp.maximum(sl[0], sl[1]),
+                       jnp.maximum(sl[2], sl[3]))
+
+
+def _parity_pool_fwd(x, pool_impl):
+    y = _parity_pool(x, pool_impl)
+    return y, (x, y)
+
+
+def _parity_pool_bwd(pool_impl, res, g):
+    # same tie rule as _maxpool2_bwd: equal split among exact ties
+    # ("noties": full cotangent to every tie) — the conventions every
+    # golden/parity artifact is pinned under.
+    x, y = res
+    c = x.shape[3] // 4
+    eqs = [(x[..., i * c:(i + 1) * c] == y).astype(g.dtype)
+           for i in range(4)]
+    if pool_impl == "noties":
+        gd = g
+    else:
+        ties = eqs[0] + eqs[1] + eqs[2] + eqs[3]
+        gd = g / jnp.maximum(ties, 1.0)
+    return (jnp.concatenate([m * gd for m in eqs], axis=-1),)
+
+
+_parity_pool.defvjp(_parity_pool_fwd, _parity_pool_bwd)
+
+
+def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
+                cdt, pool_impl: str, base, hi: int,
+                halo_px: int, own_px: int):
+    """Run conv1_1 → conv1_2 → pool1 in space-to-depth form.
+
+    x: preprocessed (S, R, W, 3), R and W even — strip form (base[s] =
+    s·own−halo) or a plain batch (base = zeros, halo_px = 0, own_px = R).
+    Returns ({block-1 tap: S2dTap}, pool1 output (S, R/2, W/2, 64)) with
+    bias/ReLU/boundary-zeroing applied exactly as the direct path does
+    (postact deferral included — the parity max commutes with the
+    per-channel bias and monotone ReLU bit-exactly, same argument as
+    _maxpool2's). Cites the reference VGG tap semantics via SURVEY.md
+    §2 comp.2; arithmetic equivalence is pinned by tests/test_s2d.py.
+    """
+    w_img = x.shape[2]
+    w11 = params["conv1_1"]["w"][:, :, ::-1, :]          # BGR fold
+    k11 = _s2d_kernel(w11).astype(cdt)
+    k12 = _s2d_kernel(params["conv1_2"]["w"]).astype(cdt)
+    b11 = jnp.tile(params["conv1_1"]["b"], 4).astype(cdt)
+    b12 = params["conv1_2"]["b"].astype(cdt)
+
+    xc = _s2d_cells(x)                        # aligned (S, R/2, W/2, 12)
+    xc = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    z1 = _s2d_conv(xc, k11, cdt)              # odd (S, R/2+1, W/2+1, 256)
+    taps = {}
+    if "conv1_1" in layers:
+        # RAW tap + bias: the Gram cooks its own epilogue per parity
+        # slice in its own layout (see S2dTap.bias — the cooked tensor
+        # shared between conv1_2 and the Gram measured ~0.46 ms/step of
+        # layout ping-pong copies around the epilogue)
+        taps["conv1_1"] = S2dTap(z1, -1, halo_px, own_px, w_img,
+                                 bias=b11)
+    y = _relu(z1 + b11)
+    y = _s2d_zero_oob(y, -1, base, hi, w_img)
+    y = checkpoint_name(y, "vgg_block1")
+
+    z = _s2d_conv(y, k12, cdt)                # aligned (S, R/2, W/2, 256)
+    postact = (pool_impl in ("auto", "postact") and pooling == "max"
+               and "conv1_2" not in layers)
+    if postact:
+        p = _parity_pool(z, pool_impl)
+        p = _relu(p + b12)
+        # beyond-image rows at pooled resolution (junk under postact —
+        # the direct path zeroes them after the pool the same way)
+        rows = p.shape[1]
+        gi = jnp.asarray(base)[:, None] // 2 + jnp.arange(rows)[None, :]
+        ok = (gi >= 0) & (gi < hi // 2)
+        p = p * ok[:, :, None, None].astype(p.dtype)
+    else:
+        b12t = jnp.tile(params["conv1_2"]["b"], 4).astype(cdt)
+        if "conv1_2" in layers:
+            taps["conv1_2"] = S2dTap(z, 0, halo_px, own_px, w_img,
+                                     bias=b12t)
+        z = _relu(z + b12t)
+        z = _s2d_zero_oob(z, 0, base, hi, w_img)
+        z = checkpoint_name(z, "vgg_block1")
+        if pooling == "max":
+            p = _parity_pool(z, pool_impl)
+        else:
+            c = z.shape[3] // 4
+            p = 0.25 * (z[..., :c] + z[..., c:2 * c]
+                        + z[..., 2 * c:3 * c] + z[..., 3 * c:])
+    return taps, checkpoint_name(p, "vgg_block1")
+
+
+def _resolve_block1(block1_impl: str, h: int, w: int) -> bool:
+    """"auto" -> s2d on TPU for 512²-class images; direct convs
+    elsewhere. Measured on the full config-3 step (raw-tap form,
+    ARCHITECTURE.md round-3 campaign #7): 163.4 -> 171.9 it/s @512²
+    but 39.3 -> 37.7 @1024² — at 1024² block 1 is HBM-bound, where the
+    16/9 structural-zero tap inflation outweighs the MXU-underfill win,
+    so auto gates at < 2^19 pixels. CPU has no MXU underfill to solve.
+    """
+    if block1_impl == "s2d":
+        return True
+    return (block1_impl == "auto" and jax.default_backend() == "tpu"
+            and h * w < 2 ** 19)
+
+
 def _resolve_s2b(s2b_strips: int, h: int, w: int) -> int:
     """-1 = auto: 64-row strips on TPU for large images, off elsewhere.
 
@@ -628,7 +1004,7 @@ def _s2b_enabled(s2b_strips: int, image_shape, layers) -> bool:
 
 @partial(jax.jit, static_argnames=("layers", "pooling", "compute_dtype",
                                    "conv_impl", "pool_impl", "s2b_strips",
-                                   "strip_taps"))
+                                   "strip_taps", "block1_impl"))
 def extract_features(params: dict, image: jnp.ndarray,
                      layers: tuple[str, ...],
                      pooling: str = "max",
@@ -636,7 +1012,8 @@ def extract_features(params: dict, image: jnp.ndarray,
                      conv_impl: str = "auto",
                      pool_impl: str = "auto",
                      s2b_strips: int = 0,
-                     strip_taps: bool = False) -> dict:
+                     strip_taps: bool = False,
+                     block1_impl: str = "conv") -> dict:
     """Run VGG-19 up to the deepest layer in `layers`.
 
     Args:
@@ -693,8 +1070,44 @@ def extract_features(params: dict, image: jnp.ndarray,
 
     deepest = max(LAYER_ORDER.index(l) for l in layers)
     taps = {}
+    start_idx = 0
+    _p1 = LAYER_ORDER.index("pool1")
+    if (_resolve_block1(block1_impl, image.shape[1], image.shape[2])
+            and deepest > _p1
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        # space-to-depth block 1 (see the _s2d_kernel section): conv1_1
+        # and conv1_2 as full-lane 2×2 convs, pool1 as a parity max —
+        # lands exactly on the post-pool1 tensor of the direct path
+        if strip_halo is not None:
+            base = np.arange(x.shape[0]) * strip_own - strip_halo
+            hi = x.shape[0] * strip_own
+            halo_px, own_px, is_strip = strip_halo, strip_own, True
+        else:
+            base = np.zeros(x.shape[0], np.int64)
+            hi = x.shape[1]
+            halo_px, own_px, is_strip = 0, x.shape[1], False
+        s2d_taps, x = _block1_s2d(
+            params, x, layers, pooling=pooling, cdt=cdt,
+            pool_impl=pool_impl, base=base, hi=hi,
+            halo_px=halo_px, own_px=own_px)
+        for l, tap in s2d_taps.items():
+            tap.strip = is_strip
+            if strip_taps:
+                taps[l] = tap
+            else:
+                t = tap.plain()
+                if is_strip:
+                    taps[l] = t if squeeze else t[None]
+                else:
+                    taps[l] = t[0] if squeeze else t
+        if strip_halo is not None:
+            strip_halo //= 2
+            strip_own //= 2
+        start_idx = _p1 + 1
     pending_bias = None
     for idx, name in enumerate(LAYER_ORDER):
+        if idx < start_idx:
+            continue
         if idx > deepest:
             break
         if name.startswith("pool"):

@@ -214,6 +214,110 @@ def masked_grams_flat(f2d: jnp.ndarray, masks_flat: jnp.ndarray,
     return g / jnp.maximum(n, eps)[:, None, None]
 
 
+@jax.custom_vjp
+def _grams_raw_nd(f: jnp.ndarray, m2: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalized masked Grams from an UNFLATTENED pixel block:
+    (..., C) features × (K, ...) m² -> (C, K·C), contracting every
+    pixel dim in place via dot_general — no (P, C) flatten. Same math
+    and analytic one-pass VJP as _grams_raw_flat; used where the
+    explicit flatten forces relayout copies (the s2d block-1 tap's
+    64-lane parity slices measured ~0.5 ms/step of slice copies when
+    flattened — fed unflattened, the weighting mul and the dot absorb
+    the slice)."""
+    nd = f.ndim - 1
+    c = f.shape[-1]
+    k = m2.shape[0]
+    fw = (f[..., None, :] * jnp.moveaxis(m2, 0, -1)[..., :, None]
+          ).reshape(f.shape[:-1] + (k * c,))
+    dims = tuple(range(nd))
+    return jax.lax.dot_general(
+        f, fw, dimension_numbers=((dims, dims), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _grams_raw_nd_fwd(f, m2):
+    nd = f.ndim - 1
+    c = f.shape[-1]
+    k = m2.shape[0]
+    fw = (f[..., None, :] * jnp.moveaxis(m2, 0, -1)[..., :, None]
+          ).reshape(f.shape[:-1] + (k * c,))
+    dims = tuple(range(nd))
+    g = jax.lax.dot_general(
+        f, fw, dimension_numbers=((dims, dims), ((), ())),
+        preferred_element_type=jnp.float32)
+    return g, (fw, c, k)
+
+
+def _grams_raw_nd_bwd(res, dg):
+    fw, c, k = res
+    nd = fw.ndim - 1
+    dg = dg.reshape(c, k, c)
+    s = (dg + dg.transpose(2, 1, 0)).astype(fw.dtype)      # (C, K, C)
+    df = jax.lax.dot_general(
+        fw.reshape(fw.shape[:-1] + (k, c)), s.transpose(1, 0, 2),
+        dimension_numbers=(((nd, nd + 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32).astype(fw.dtype)
+    return df, jnp.zeros((k,) + fw.shape[:-1], fw.dtype)
+
+
+_grams_raw_nd.defvjp(_grams_raw_nd_fwd, _grams_raw_nd_bwd)
+
+
+def masked_grams_nd_multi(parts, eps: float = 1e-8,
+                          compute_dtype: str | jnp.dtype = "float32",
+                          norm: str = "m2") -> jnp.ndarray:
+    """All K masked Grams from several UNFLATTENED pixel blocks:
+    [((..., C), (K, ...)), ...] -> (K, C, C), one normalization over
+    the union. The s2d tap path feeds its four parity lane-slices
+    here without reshapes."""
+    c = parts[0][0].shape[-1]
+    k = parts[0][1].shape[0]
+    cdt = jnp.dtype(compute_dtype)
+    g = None
+    n = None
+    for f, masks in parts:
+        m2 = masks.astype(cdt) * masks.astype(cdt)
+        gi = _grams_raw_nd(f.astype(cdt), m2)              # (C, K·C)
+        g = gi if g is None else g + gi
+        m32 = masks.astype(jnp.float32)
+        axes = tuple(range(1, m32.ndim))
+        ni = (jnp.sum(m32 * m32, axis=axes) if norm == "m2"
+              else jnp.sum(m32, axis=axes))
+        n = ni if n is None else n + ni
+    g = g.reshape(c, k, c).transpose(1, 0, 2)              # (K, C, C)
+    return g / jnp.maximum(n, eps)[:, None, None]
+
+
+def masked_grams_flat_multi(parts, eps: float = 1e-8,
+                            compute_dtype: str | jnp.dtype = "float32",
+                            norm: str = "m2") -> jnp.ndarray:
+    """All K masked Grams from SEVERAL pre-flattened pixel blocks:
+    [((P_i, C), (K, P_i)), ...] -> (K, C, C), normalized ONCE over the
+    union (the Gram sum splits over any pixel partition).
+
+    The s2d block-1 tap consumes through this: its (…, 4C) grid tensor
+    splits into four 64-lane parity slices, each flattened by collapsing
+    LEADING dims only — no lane-regrouping reshape, which measured
+    ~0.9 ms/step of relayout copies when the tap was flattened
+    interleaved (round-3 campaign #7 first cut).
+    """
+    c = parts[0][0].shape[1]
+    k = parts[0][1].shape[0]
+    cdt = jnp.dtype(compute_dtype)
+    g = None
+    n = None
+    for f2d, masks_flat in parts:
+        m2 = masks_flat.astype(cdt) * masks_flat.astype(cdt)
+        gi = _grams_raw_flat(f2d.astype(cdt), m2)          # (C, K·C)
+        g = gi if g is None else g + gi
+        m32 = masks_flat.astype(jnp.float32)
+        ni = (jnp.sum(m32 * m32, axis=1) if norm == "m2"
+              else jnp.sum(m32, axis=1))
+        n = ni if n is None else n + ni
+    g = g.reshape(c, k, c).transpose(1, 0, 2)              # (K, C, C)
+    return g / jnp.maximum(n, eps)[:, None, None]
+
+
 # The fused path materializes the (P, K·C) mask-weighted block; beyond
 # this bound the block stops being worth storing and "auto" streams
 # (gram_stream.use_stream reads this constant). The analytic one-pass

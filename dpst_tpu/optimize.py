@@ -47,6 +47,12 @@ class StylizeConstants(NamedTuple):
     masks: dict                 # {layer: (K, h_l, w_l)} content-side masks
     coverage: jnp.ndarray       # (K,)
     lap_stats: Any              # LaplacianStats | None
+    # {layer: 4-tuple of per-parity grid masks} for the s2d block-1
+    # taps, precomputed OUTSIDE the optimization scan (run_segment →
+    # _with_s2d_masks): XLA's while-loop LICM refuses to hoist the
+    # padded mask buffers, which cost ~0.28 ms/step built in-loop.
+    # None whenever the s2d path is inactive.
+    s2d_mask_parts: Any = None
 
 
 def lap_anchor_active(cfg: StylizeConfig, h: int, w: int) -> bool:
@@ -116,6 +122,32 @@ def _strip_gram_perm(cfg: StylizeConfig, image_shape, all_layers,
         if losses.gram_route(hl, wl, k, c, cfg.gram_impl) == "fused":
             out.append(l)
     return tuple(out)
+
+
+def _block1_s2d_ok(cfg: StylizeConfig, image_shape, all_layers,
+                   b1_layers, mask_shapes: dict) -> bool:
+    """Should the loss take the space-to-depth block-1 path
+    (vgg._block1_s2d — campaign #7)? Requires the strip decomposition
+    (the measured regime), flat-form Gram consumption (strip_gram not
+    "interior"), and every block-1 tap to be style-only and
+    fused-routed — the S2dTap is consumed via s2d_flatten/s2d_masks,
+    the s2d analogue of the perm pair. Content taps or non-fused
+    routes fall back to the direct convs."""
+    h, w = image_shape[:2]
+    if not vgg._resolve_block1(cfg.block1_impl, h, w):
+        return False
+    if not vgg.s2b_active(cfg.s2b_strips, h, w, all_layers):
+        return False
+    if cfg.strip_gram == "interior":
+        return False
+    for l in b1_layers:
+        if l not in cfg.style_layers or l in cfg.content_layers:
+            return False
+        k, hl, wl = mask_shapes[l]
+        c = vgg.VGG19_BLOCKS[0][1]
+        if losses.gram_route(hl, wl, k, c, cfg.gram_impl) != "fused":
+            return False
+    return True
 
 
 @lru_cache(maxsize=64)
@@ -198,20 +230,48 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
             # flattens it in the conv layout's own pixel order with
             # permuted masks (vgg.perm_flatten/perm_masks — a bitcast
             # where the image-order flatten pays relayout copies).
+            mask_shapes = {l: consts.masks[l].shape for l in b12_layers
+                           if l in style_lw}  # masks: style layers only
             perm_layers = _strip_gram_perm(
-                cfg, image.shape, all_layers, b12_layers,
-                {l: consts.masks[l].shape for l in b12_layers
-                 if l in style_lw})   # masks exist for style layers only
+                cfg, image.shape, all_layers, b12_layers, mask_shapes)
+            _p1 = vgg.LAYER_ORDER.index("pool1")
+            b1_layers = tuple(l for l in b12_layers
+                              if vgg.LAYER_ORDER.index(l) < _p1)
+            use_s2d = _block1_s2d_ok(
+                cfg, image.shape, all_layers, b1_layers, mask_shapes)
             feats = vgg.extract_features(
                 vgg_params, image, all_layers,
                 pooling=cfg.pooling, compute_dtype=cfg.compute_dtype,
                 conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
                 s2b_strips=cfg.s2b_strips,
-                strip_taps=bool(perm_layers))
-            if perm_layers:
+                strip_taps=bool(perm_layers or use_s2d),
+                block1_impl="s2d" if use_s2d else "conv")
+            if perm_layers or use_s2d:
                 g_out = {}
                 for l in list(feats):
                     tap = feats[l]
+                    if isinstance(tap, vgg.S2dTap):
+                        # block-1 s2d tap: four 64-lane parity slices
+                        # fed UNFLATTENED to the nd Gram (the dot
+                        # absorbs the slice), masks permuted to match
+                        # (halo / garbage slots zero-weighted — exact),
+                        # one normalization. Mask grids come
+                        # precomputed from run_segment when available
+                        # (consts.s2d_mask_parts — in-loop they cost
+                        # ~0.28 ms/step, unhoisted).
+                        mp = getattr(consts, "s2d_mask_parts", None)
+                        m_par = (mp or {}).get(l) if isinstance(
+                            mp, dict) else None
+                        if m_par is None:
+                            m_par = vgg.s2d_masks_par(
+                                consts.masks[l], tap.data.shape[0],
+                                tap.halo_px, tap.off)
+                        g_out[l] = losses.masked_grams_nd_multi(
+                            list(zip(vgg.s2d_slices_par(tap), m_par)),
+                            compute_dtype=cfg.compute_dtype,
+                            norm=gram_norm)
+                        del feats[l]
+                        continue
                     if not isinstance(tap, vgg.StripTap):
                         continue
                     if l in perm_layers:
@@ -321,6 +381,39 @@ def init_opt_state(opt: optax.GradientTransformation, cfg: StylizeConfig,
     return opt.init(image0)
 
 
+def _with_s2d_masks(cfg: StylizeConfig, consts: StylizeConstants,
+                    image_shape) -> StylizeConstants:
+    """Precompute the s2d taps' per-parity grid masks OUTSIDE the scan.
+
+    The masks are loop-invariant, but XLA's while-loop invariant code
+    motion declines to hoist the padded (K, S, ro, co) buffers — built
+    inside the loss they measured ~0.28 ms/step at 512² (round-3 trace,
+    pad.1967 + copies at the s2d_masks_par lines). Doing it here, the
+    work runs once per run_segment dispatch. No-op (returns consts
+    unchanged) whenever the loss won't take the s2d path."""
+    all_layers = tuple(dict.fromkeys(cfg.style_layers + cfg.content_layers))
+    _p1 = vgg.LAYER_ORDER.index("pool1")
+    b1_layers = tuple(l for l in all_layers
+                      if vgg.LAYER_ORDER.index(l) < _p1)
+    mask_shapes = {l: consts.masks[l].shape for l in b1_layers
+                   if l in consts.masks}
+    if len(mask_shapes) != len(b1_layers):
+        return consts
+    if not _block1_s2d_ok(cfg, image_shape, all_layers, b1_layers,
+                          mask_shapes):
+        return consts
+    h, w = image_shape[:2]
+    strips = vgg._resolve_s2b(cfg.s2b_strips, h, w)
+    if w % 2:
+        return consts            # extract_features falls back to conv
+    parts = {
+        l: tuple(vgg.s2d_masks_par(consts.masks[l], strips,
+                                   vgg._S2B_HALO,
+                                   -1 if l == "conv1_1" else 0))
+        for l in b1_layers}
+    return consts._replace(s2d_mask_parts=parts)
+
+
 @partial(jax.jit, static_argnames=("n_steps", "cfg"))
 def run_segment(image: jnp.ndarray, opt_state, consts: StylizeConstants,
                 weights: LossWeights, vgg_params: dict, *, n_steps: int,
@@ -336,6 +429,7 @@ def run_segment(image: jnp.ndarray, opt_state, consts: StylizeConstants,
     columns 1-4 are zeros and column 0 comes from the linesearch-cached
     value (no extra forward pass).
     """
+    consts = _with_s2d_masks(cfg, consts, image.shape)
     loss_fn = make_loss_fn(cfg)
     opt = make_optimizer(cfg)
     if cfg.optimizer == "adam":
