@@ -152,8 +152,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "s2d", "conv"),
                    default="auto",
                    help="VGG block-1 lowering: auto = space-to-depth "
-                        "2x2 convs on TPU below 2^19 px, s2d forces "
-                        "it, conv keeps the direct 3x3 emitters")
+                        "2x2 convs on TPU for 512^2-class images, s2d "
+                        "forces it, conv keeps the direct 3x3 emitters")
     g.add_argument("--remat",
                    choices=("none", "full", "block1", "block12"),
                    default="none",

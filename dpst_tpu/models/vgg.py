@@ -938,16 +938,18 @@ def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
 
 def _resolve_block1(block1_impl: str, h: int, w: int) -> bool:
     """"auto" -> s2d on TPU for 512²-class images; direct convs
-    elsewhere. Measured on the full config-3 step (raw-tap form,
-    ARCHITECTURE.md round-3 campaign #7): 163.4 -> 171.9 it/s @512²
-    but 39.3 -> 37.7 @1024² — at 1024² block 1 is HBM-bound, where the
-    16/9 structural-zero tap inflation outweighs the MXU-underfill win,
-    so auto gates at < 2^19 pixels. CPU has no MXU underfill to solve.
-    """
+    elsewhere. Measured on full steps (raw-tap form, ARCHITECTURE.md
+    round-3 campaigns #7/#8): 163.4 -> 171.9 it/s @512² strips and
+    137.3 -> 162.2 pair-it/s @512² B=8 plain batch, but 39.3 -> 37.7
+    @1024² (HBM-bound there — the 16/9 structural-zero tap inflation
+    outweighs the MXU-underfill win) and 676.5 -> 505.8 @256² (the
+    dot11 tall-matmul conv1_1 it displaces is the better lowering at
+    that size), so auto gates at 2^18 <= h·w < 2^19 pixels. CPU has no
+    MXU underfill to solve."""
     if block1_impl == "s2d":
         return True
     return (block1_impl == "auto" and jax.default_backend() == "tpu"
-            and h * w < 2 ** 19)
+            and 2 ** 18 <= h * w < 2 ** 19)
 
 
 def _resolve_s2b(s2b_strips: int, h: int, w: int) -> int:

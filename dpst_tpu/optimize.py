@@ -127,18 +127,22 @@ def _strip_gram_perm(cfg: StylizeConfig, image_shape, all_layers,
 def _block1_s2d_ok(cfg: StylizeConfig, image_shape, all_layers,
                    b1_layers, mask_shapes: dict) -> bool:
     """Should the loss take the space-to-depth block-1 path
-    (vgg._block1_s2d — campaign #7)? Requires the strip decomposition
-    (the measured regime), flat-form Gram consumption (strip_gram not
-    "interior"), and every block-1 tap to be style-only and
-    fused-routed — the S2dTap is consumed via s2d_flatten/s2d_masks,
-    the s2d analogue of the perm pair. Content taps or non-fused
-    routes fall back to the direct convs."""
+    (vgg._block1_s2d — campaign #7)? Works in BOTH batching regimes:
+    the strip decomposition (S2dTap strips, where it needs flat-form
+    Gram consumption — strip_gram not "interior") and the plain-batch
+    case (strips=1, halo=0 — the vmapped B-pair path, campaign #8,
+    where the (B, 512, 512, 64) 3x3 emitters pay the same layout
+    copies the strips paid at batch 1). Every block-1 tap must be
+    style-only and fused-routed — the S2dTap is consumed via the
+    per-parity nd Gram. Content taps or non-fused routes fall back to
+    the direct convs."""
     h, w = image_shape[:2]
     if not vgg._resolve_block1(cfg.block1_impl, h, w):
         return False
-    if not vgg.s2b_active(cfg.s2b_strips, h, w, all_layers):
+    if h % 2 or w % 2:
         return False
-    if cfg.strip_gram == "interior":
+    if (vgg.s2b_active(cfg.s2b_strips, h, w, all_layers)
+            and cfg.strip_gram == "interior"):
         return False
     for l in b1_layers:
         if l not in cfg.style_layers or l in cfg.content_layers:
@@ -403,12 +407,12 @@ def _with_s2d_masks(cfg: StylizeConfig, consts: StylizeConstants,
                           mask_shapes):
         return consts
     h, w = image_shape[:2]
-    strips = vgg._resolve_s2b(cfg.s2b_strips, h, w)
-    if w % 2:
-        return consts            # extract_features falls back to conv
+    if vgg.s2b_active(cfg.s2b_strips, h, w, all_layers):
+        strips, halo = vgg._resolve_s2b(cfg.s2b_strips, h, w), vgg._S2B_HALO
+    else:
+        strips, halo = 1, 0      # plain batch (the vmapped B-pair path)
     parts = {
-        l: tuple(vgg.s2d_masks_par(consts.masks[l], strips,
-                                   vgg._S2B_HALO,
+        l: tuple(vgg.s2d_masks_par(consts.masks[l], strips, halo,
                                    -1 if l == "conv1_1" else 0))
         for l in b1_layers}
     return consts._replace(s2d_mask_parts=parts)

@@ -125,6 +125,72 @@ def test_s2d_full_loss_parity(kw):
     np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
 
 
+@pytest.mark.parametrize("kw", [
+    {},                                       # conv1_1 tap, K=2 masks
+    {"style_layers": ("conv1_1", "conv1_2", "conv2_1", "conv3_1",
+                      "conv4_1", "conv5_1"),
+     "style_layer_weights": (0.2,) * 6},      # + conv1_2 tap
+], ids=["default", "conv1_2-tap"])
+def test_s2d_plain_batch_loss_parity(kw):
+    """Campaign #8: the s2d path without the strip decomposition
+    (strips=1, halo=0 — the regime the vmapped B-pair batch runs in)
+    matches the direct convs on the full loss value + gradient."""
+    content, style, masks = _tall_pair()
+    params = vgg.get_params(seed=0)
+    v0, g0 = _val_grad(params, content, style, masks,
+                       s2b_strips=0, block1_impl="conv", **kw)
+    v1, g1 = _val_grad(params, content, style, masks,
+                       s2b_strips=0, block1_impl="s2d", **kw)
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    scale = np.max(np.abs(g0))
+    np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
+
+
+def test_s2d_batch_vmap_trajectory():
+    """stylize_batch (vmapped per-pair loop, plain-batch s2d) tracks the
+    direct path per pair."""
+    from dpst_tpu.parallel.batch import stylize_batch
+    content, style, masks = _tall_pair()
+    contents = np.stack([content, np.flip(content, 0).copy()])
+    styles = np.stack([style, style])
+    bmask = np.stack([masks, masks])
+    hists = {}
+    for impl in ("conv", "s2d"):
+        cfg = dpst_tpu.StylizeConfig(
+            **{**BASE, "s2b_strips": 0}, block1_impl=impl, iterations=4)
+        _, hist = stylize_batch(contents, styles, bmask, bmask, cfg=cfg)
+        hists[impl] = np.asarray(hist)
+    assert np.all(np.isfinite(hists["s2d"]))
+    assert not np.allclose(hists["s2d"][0], hists["s2d"][1])  # distinct pairs
+    np.testing.assert_allclose(hists["s2d"], hists["conv"],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_run_segment_s2d_plain_batch_trajectory():
+    """run_segment with s2b off + s2d (strips=1/halo=0 precomputed mask
+    grids via _with_s2d_masks) tracks the direct path."""
+    content, style, masks = _tall_pair()
+    params = vgg.get_params(seed=0)
+    hists = {}
+    for impl in ("conv", "s2d"):
+        cfg = dpst_tpu.StylizeConfig(**{**BASE, "s2b_strips": 0},
+                                     block1_impl=impl)
+        consts = prepare_constants(
+            jnp.asarray(content), jnp.asarray(style), jnp.asarray(masks),
+            jnp.asarray(masks), cfg, params)
+        loop = cfg.loop_config()
+        opt = optimize.make_optimizer(loop)
+        img = optimize.init_image(cfg, jnp.asarray(content))
+        st = optimize.init_opt_state(opt, loop, img)
+        _, _, hist = optimize.run_segment(
+            img, st, consts, optimize.LossWeights.from_config(cfg),
+            params, n_steps=5, cfg=loop)
+        hists[impl] = np.asarray(hist)
+    assert np.all(np.isfinite(hists["s2d"]))
+    np.testing.assert_allclose(hists["s2d"], hists["conv"],
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_parity_pool_tie_rule():
     """_parity_pool's VJP splits ties exactly like _maxpool2's."""
     r = np.random.default_rng(5)
