@@ -375,14 +375,27 @@ def logits_to_pixels(u: jnp.ndarray) -> jnp.ndarray:
     return 255.0 * jax.nn.sigmoid(u)
 
 
+def _strong_typed(tree):
+    """Strip weak_type from every leaf (Python-scalar-seeded entries in
+    optax's lbfgs state init as weak-typed; run_segment's outputs are
+    strong, so the SECOND dispatch of an otherwise identical call would
+    silently retrace + recompile — measured as a one-time ~3.6 s stall
+    (16 s without the persistent cache) in the middle of the second
+    100-step window, long misattributed to Wolfe-zoom trajectory
+    phase)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.convert_element_type(x, jnp.asarray(x).dtype),
+        tree)
+
+
 def init_opt_state(opt: optax.GradientTransformation, cfg: StylizeConfig,
                    image0: jnp.ndarray):
     """Optimizer state for `image0` — in logit space for constrained
     L-BFGS (the lbfgs state stores the current params for its s-vectors,
     so it must be initialized in the space the loop steps in)."""
     if cfg.optimizer == "lbfgs" and cfg.clip_pixels:
-        return opt.init(pixels_to_logits(image0))
-    return opt.init(image0)
+        return _strong_typed(opt.init(pixels_to_logits(image0)))
+    return _strong_typed(opt.init(image0))
 
 
 def _with_s2d_masks(cfg: StylizeConfig, consts: StylizeConstants,
