@@ -82,16 +82,17 @@ class StylizeConfig:
     # 121.5 it/s). Exact: strip interiors are the undecomposed values.
     s2b_strips: int = -1
     # Block-1 conv lowering (models/vgg._block1_s2d): "auto" = space-to-
-    # depth on TPU for 512²-class images (2^18 <= h·w < 2^19: conv1_1/
-    # conv1_2 as full-lane 2×2 convs between half-cell-shifted s2d
-    # grids, pool1 as a free parity max — the 64-channel 3×3 emitters
-    # underfill the MXU; 163.4 -> 171.9 it/s on the 512² strips step,
-    # 137.3 -> 162.2 pair-it/s on the B=8 vmapped batch, but SLOWER at
-    # 1024² where HBM dominates and at 256² where dot11 is the better
-    # conv1_1 — campaigns #7/#8); "s2d" forces it, "conv" keeps the
-    # direct 3×3 emitters. Exact: same arithmetic, boundary semantics
-    # pinned by tests/test_s2d.py. Taken in the loss only where block-1
-    # taps are style-only and fused-routed (optimize._block1_s2d_ok).
+    # depth on TPU at h·w >= 2^18 (conv1_1 as ONE stride-2 4×4 conv off
+    # the pixel image, conv1_2 as a full-lane 2×2 conv between
+    # half-cell-shifted s2d grids, pool1 as a free parity max — the
+    # 64-channel 3×3 emitters underfill the MXU; 163.4 -> 171.9 it/s on
+    # the 512² strips step, 137.3 -> 162.2 pair-it/s on the B=8 vmapped
+    # batch, 39.4 -> 40.3 @1024², but SLOWER at 256² where dot11 is the
+    # better conv1_1 — campaigns #7/#8); "s2d" forces it, "conv" keeps
+    # the direct 3×3 emitters. Exact: same arithmetic, boundary
+    # semantics pinned by tests/test_s2d.py. Taken in the loss only
+    # where block-1 taps are style-only and fused-routed
+    # (optimize._block1_s2d_ok).
     block1_impl: str = "auto"
     # How the masked Gram consumes block-1/2 taps when the strip path is
     # active: "interior" = slice strips back to image order and flatten

@@ -598,6 +598,14 @@ def strip_masks(mask: jnp.ndarray, halo: int, own: int) -> jnp.ndarray:
 # aligned output cells — the pool is a free max over the 4 parity
 # channel groups, landing bit-in-place on the post-pool1 strip tensor
 # the rest of the network already consumes.
+#
+# conv1_1 itself never builds the input cell grid: a 2×2 conv over
+# 4×-packed pixels is arithmetically a stride-2 4×4 conv on the RAW
+# image (z1[o, (p, co)] = Σ_t w3[t−p]·x[2o+t−2], t = p+d ∈ [0, 4)) —
+# same 48-deep contraction, and the pixel→cell packing the emitter
+# would otherwise need as an explicit op (measured 8 × 44 µs/step of
+# 6-D transposes fused into the strip stack at 512²) happens inside
+# its own input windowing instead (_s2d_kernel4).
 # ---------------------------------------------------------------------------
 
 
@@ -629,6 +637,32 @@ def _s2d_kernel(w3: jnp.ndarray) -> jnp.ndarray:
                     rows.append(jnp.concatenate(cols, axis=1))   # (ci, 4co)
             cells.append(jnp.concatenate(rows, axis=0))          # (4ci, 4co)
     return jnp.stack(cells).reshape(2, 2, 4 * ci, 4 * co)
+
+
+def _s2d_kernel4(w3: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) stride-1 SAME kernel -> the (4, 4, Ci, 4Co)
+    stride-2 kernel that produces the ODD s2d grid directly from the
+    pixel image: z1[o, (p, co)] = Σ_d w3[d]·x[2o+p+d−2] = Σ_t
+    w3[t−p]·x[2o+t−2] with t = p+d, i.e. a stride-2 VALID conv over the
+    image padded by 2 on each side. Entries with t−p outside [0, 2] are
+    structural zeros (7 of 16 per axis pair, same density as
+    _s2d_kernel); output channel order (py·2+px)·Co+co matches the odd
+    grid every downstream consumer expects."""
+    ci, co = w3.shape[2], w3.shape[3]
+    zero = jnp.zeros((ci, co), w3.dtype)
+    rows = []
+    for ty in range(4):
+        cols_t = []
+        for tx in range(4):
+            cols = []
+            for py in range(2):
+                for px in range(2):
+                    dy, dx = ty - py, tx - px
+                    cols.append(w3[dy, dx]
+                                if 0 <= dy <= 2 and 0 <= dx <= 2 else zero)
+            cols_t.append(jnp.concatenate(cols, axis=1))   # (ci, 4co)
+        rows.append(jnp.stack(cols_t))                      # (4, ci, 4co)
+    return jnp.stack(rows)                                  # (4, 4, ci, 4co)
 
 
 def _s2d_cells(x: jnp.ndarray) -> jnp.ndarray:
@@ -887,14 +921,17 @@ def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
     """
     w_img = x.shape[2]
     w11 = params["conv1_1"]["w"][:, :, ::-1, :]          # BGR fold
-    k11 = _s2d_kernel(w11).astype(cdt)
+    k11 = _s2d_kernel4(w11).astype(cdt)
     k12 = _s2d_kernel(params["conv1_2"]["w"]).astype(cdt)
     b11 = jnp.tile(params["conv1_1"]["b"], 4).astype(cdt)
     b12 = params["conv1_2"]["b"].astype(cdt)
 
-    xc = _s2d_cells(x)                        # aligned (S, R/2, W/2, 12)
-    xc = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    z1 = _s2d_conv(xc, k11, cdt)              # odd (S, R/2+1, W/2+1, 256)
+    # stride-2 4×4 conv straight off the pixel image (see _s2d_kernel4
+    # — no input cell grid is ever materialized; the 2-px zero pad is
+    # exactly the old path's one zero CELL per edge)
+    z1 = jax.lax.conv_general_dilated(
+        x, k11, (2, 2), ((2, 2), (2, 2)), dimension_numbers=_DN,
+        preferred_element_type=cdt)           # odd (S, R/2+1, W/2+1, 256)
     taps = {}
     if "conv1_1" in layers:
         # RAW tap + bias: the Gram cooks its own epilogue per parity
@@ -937,19 +974,20 @@ def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
 
 
 def _resolve_block1(block1_impl: str, h: int, w: int) -> bool:
-    """"auto" -> s2d on TPU for 512²-class images; direct convs
-    elsewhere. Measured on full steps (raw-tap form, ARCHITECTURE.md
-    round-3 campaigns #7/#8): 163.4 -> 171.9 it/s @512² strips and
-    137.3 -> 162.2 pair-it/s @512² B=8 plain batch, but 39.3 -> 37.7
-    @1024² (HBM-bound there — the 16/9 structural-zero tap inflation
-    outweighs the MXU-underfill win) and 676.5 -> 505.8 @256² (the
+    """"auto" -> s2d on TPU at >= 512²-class images; direct convs
+    elsewhere. Measured on full steps (K4 + raw-tap form,
+    ARCHITECTURE.md round-3 campaigns #7/#8): 163.4 -> 171.9 it/s
+    @512² strips, 137.3 -> 162.2 pair-it/s @512² B=8 plain batch,
+    39.4 -> 40.3 @1024² (a REGRESSION before the stride-2 K4 conv1_1
+    replaced the explicit cell build), but 676.5 -> 505.8 @256² (the
     dot11 tall-matmul conv1_1 it displaces is the better lowering at
-    that size), so auto gates at 2^18 <= h·w < 2^19 pixels. CPU has no
-    MXU underfill to solve."""
+    that size) — so auto gates at h·w >= 2^18 pixels. No upper bound:
+    past the fused-Gram block limit (2048²+) optimize._block1_s2d_ok
+    self-gates on the gram route. CPU has no MXU underfill to solve."""
     if block1_impl == "s2d":
         return True
     return (block1_impl == "auto" and jax.default_backend() == "tpu"
-            and 2 ** 18 <= h * w < 2 ** 19)
+            and h * w >= 2 ** 18)
 
 
 def _resolve_s2b(s2b_strips: int, h: int, w: int) -> int:
