@@ -665,6 +665,81 @@ def _s2d_kernel4(w3: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows)                                  # (4, 4, ci, 4co)
 
 
+# conv1_1's K4 input-gradient form: matmul (_k4_conv) below this pixel
+# count, the transposed-conv emitter above (same-process A/B at the
+# gate decision points; see _block1_s2d)
+_K4_MATMUL_BWD_MAX = 2 ** 20
+
+
+@jax.custom_vjp
+def _k4_conv(x: jnp.ndarray, k4: jnp.ndarray) -> jnp.ndarray:
+    """conv1_1 in K4 form (stride-2 4×4, pixels -> odd s2d grid) whose
+    input gradient avoids the transposed-conv emitter.
+
+    The emitter's dx is a 3-output-channel transposed conv that lands in
+    a batch-minor T(4,128) layout — the single largest op of the step
+    (758 µs @512², 3.88 ms @1024², round-3 trace). Here instead:
+      y(P, 48) = g(P, 256) · K4ᵀ(256, 48)        — one tall MXU matmul
+      dcell    = Σ_{a,b∈{0,1}} y[a:, b:] · Sel_ab — four 0/1 SELECTION
+                 matmuls (48 -> 12 tap-to-cell reduction fused with the
+                 shifted slice; CLAUDE.md rule 9's even/odd trick)
+      dx       = cell -> pixel unpack (one 6-D transpose)
+    Weight gradient is skipped (frozen VGG, same contract as
+    _conv_dotbwd)."""
+    return jax.lax.conv_general_dilated(
+        x, k4, (2, 2), ((2, 2), (2, 2)), dimension_numbers=_DN,
+        preferred_element_type=x.dtype)
+
+
+def _k4_conv_fwd(x, k4):
+    return _k4_conv(x, k4), (k4, x.shape)
+
+
+def _k4_sel(dt) -> jnp.ndarray:
+    """(2, 2, 48, 12) 0/1 selection: Sel[a, b, (ty·4+tx)·3+c,
+    (py·2+px)·3+c] = 1 iff ty = py + 2(1−a), tx = px + 2(1−b)."""
+    s = np.zeros((2, 2, 48, 12), np.float32)
+    for a in range(2):
+        for b in range(2):
+            for py in range(2):
+                for px in range(2):
+                    ty, tx = py + 2 * (1 - a), px + 2 * (1 - b)
+                    for c in range(3):
+                        s[a, b, (ty * 4 + tx) * 3 + c,
+                          (py * 2 + px) * 3 + c] = 1.0
+    return jnp.asarray(s, dt)
+
+
+def _k4_conv_bwd(res, g):
+    k4, x_shape = res
+    sN, r_img, w_img = x_shape[0], x_shape[1], x_shape[2]
+    kk = k4.shape[3]
+    # (256, 48): column (ty·4+tx)·3+c holds k4[ty, tx, c]ᵀ
+    wall = k4.reshape(48, kk).T
+    y = jax.lax.dot_general(
+        g.reshape(-1, kk), wall, (((1,), (0,)), ((), ())),
+        preferred_element_type=g.dtype).reshape(g.shape[:3] + (48,))
+    sel = _k4_sel(g.dtype)
+    m, n = r_img // 2, w_img // 2
+    dcell = None
+    for a in range(2):
+        for b in range(2):
+            # Sel[a, b] selects ty = py + 2(1−a): ty = py reads cell
+            # o = m+1 (a = 1), ty = py+2 reads o = m (a = 0) — the
+            # slice offset IS a (resp. b on columns)
+            t = jax.lax.dot_general(
+                y[:, a:a + m, b:b + n], sel[a, b],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=g.dtype)
+            dcell = t if dcell is None else dcell + t
+    dx = (dcell.reshape(sN, m, n, 2, 2, 3)
+          .transpose(0, 1, 3, 2, 4, 5).reshape(sN, r_img, w_img, 3))
+    return dx, jnp.zeros_like(k4)
+
+
+_k4_conv.defvjp(_k4_conv_fwd, _k4_conv_bwd)
+
+
 def _s2d_cells(x: jnp.ndarray) -> jnp.ndarray:
     """(B, R, W, C) -> aligned s2d cells (B, R/2, W/2, 4C); channel
     order (py·2+px)·C+c."""
@@ -928,10 +1003,19 @@ def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
 
     # stride-2 4×4 conv straight off the pixel image (see _s2d_kernel4
     # — no input cell grid is ever materialized; the 2-px zero pad is
-    # exactly the old path's one zero CELL per edge)
-    z1 = jax.lax.conv_general_dilated(
-        x, k11, (2, 2), ((2, 2), (2, 2)), dimension_numbers=_DN,
-        preferred_element_type=cdt)           # odd (S, R/2+1, W/2+1, 256)
+    # exactly the old path's one zero CELL per edge). Below 2^20 px the
+    # input gradient goes matmul-form (_k4_conv: 172 -> 184 it/s @512²,
+    # batch 162 -> 168 — the emitter's 3-channel transposed conv was
+    # the step's largest op); at 1024²+ the emitter's dx wins back
+    # (40.3 vs 39.7 — the (P, 48) tap tensor's HBM traffic outgrows
+    # the layout tax it saves, the same crossover _resolve_conv11
+    # measured for the direct dotbwd).
+    if hi * w_img < _K4_MATMUL_BWD_MAX:
+        z1 = _k4_conv(x, k11)                 # odd (S, R/2+1, W/2+1, 256)
+    else:
+        z1 = jax.lax.conv_general_dilated(
+            x, k11, (2, 2), ((2, 2), (2, 2)), dimension_numbers=_DN,
+            preferred_element_type=cdt)
     taps = {}
     if "conv1_1" in layers:
         # RAW tap + bias: the Gram cooks its own epilogue per parity

@@ -191,6 +191,31 @@ def test_run_segment_s2d_plain_batch_trajectory():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_k4_conv_matmul_vjp():
+    """_k4_conv (campaign #9): forward equals the plain stride-2 conv
+    bit-for-bit; the matmul-form input gradient matches autodiff of the
+    plain conv to fp32 roundoff (odd grid dims exercise the shifted
+    selection slices)."""
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(0, 50, (2, 16, 20, 3)), jnp.float32)
+    w3 = jnp.asarray(r.normal(0, 0.1, (3, 3, 3, 64)), jnp.float32)
+    k4 = vgg._s2d_kernel4(w3)
+    g = jnp.asarray(r.normal(size=(2, 9, 11, 256)), jnp.float32)
+
+    def plain(t):
+        return jax.lax.conv_general_dilated(
+            t, k4, (2, 2), ((2, 2), (2, 2)), dimension_numbers=vgg._DN,
+            preferred_element_type=t.dtype)
+
+    np.testing.assert_array_equal(np.asarray(vgg._k4_conv(x, k4)),
+                                  np.asarray(plain(x)))
+    g0 = jax.grad(lambda t: jnp.vdot(plain(t), g))(x)
+    g1 = jax.grad(lambda t: jnp.vdot(vgg._k4_conv(t, k4), g))(x)
+    scale = np.max(np.abs(np.asarray(g0)))
+    np.testing.assert_allclose(np.asarray(g1) / scale,
+                               np.asarray(g0) / scale, atol=1e-5)
+
+
 def test_parity_pool_tie_rule():
     """_parity_pool's VJP splits ties exactly like _maxpool2's."""
     r = np.random.default_rng(5)
