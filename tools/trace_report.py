@@ -28,14 +28,16 @@ def run_traced(steps: int, outdir: str) -> None:
     from dpst_tpu.models import vgg
 
     # config overrides via env, e.g. DPST_TRACE_KW='{"use_photorealism":
-    # false}' traces the config2 (no-Laplacian) program instead
+    # false}' traces the config2 (no-Laplacian) program instead;
+    # DPST_TRACE_SIZE=1024 traces that square resolution.
     kw = json.loads(os.environ.get("DPST_TRACE_KW", "{}"))
+    size = int(os.environ.get("DPST_TRACE_SIZE", "512"))
     base = dict(use_segmentation=True, use_photorealism=True,
                 max_classes=4, iterations=500, compute_dtype="bfloat16")
     base.update(kw)
     cfg = dpst_tpu.StylizeConfig(**base)
-    content, style = _pair(512, 512)
-    cmask = _masks(4, 512, 512)
+    content, style = _pair(size, size)
+    cmask = _masks(4, size, size)
     vgg_params = vgg.get_params(seed=0)
     weights = optimize.LossWeights.from_config(cfg)
     loop_cfg = cfg.loop_config()
