@@ -30,12 +30,13 @@ def build_text() -> str:
     from dpst_tpu.models import vgg
 
     kw = json.loads(os.environ.get("DPST_TRACE_KW", "{}"))
+    size = int(os.environ.get("DPST_TRACE_SIZE", "512"))
     base = dict(use_segmentation=True, use_photorealism=True,
                 max_classes=4, iterations=500, compute_dtype="bfloat16")
     base.update(kw)
     cfg = dpst_tpu.StylizeConfig(**base)
-    content, style = _pair(512, 512)
-    cmask = _masks(4, 512, 512)
+    content, style = _pair(size, size)
+    cmask = _masks(4, size, size)
     vgg_params = vgg.get_params(seed=0)
     weights = optimize.LossWeights.from_config(cfg)
     loop_cfg = cfg.loop_config()
