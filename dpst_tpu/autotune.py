@@ -84,6 +84,12 @@ def autotune(content, style, config: StylizeConfig | None = None, *,
         # halo redundancy (same reasoning/measurement as stylize_batch)
         import dataclasses
         cfg = dataclasses.replace(cfg, s2b_strips=0)
+    if cfg.s2d_gram != "nd":
+        # same vmap reasoning as stylize_batch: the candidate loop would
+        # batch the s2d-Gram pallas_call onto an unmeasured grid dim;
+        # the nd path vmaps as plain dots
+        import dataclasses
+        cfg = dataclasses.replace(cfg, s2d_gram="nd")
     content_np = io.load_image(content, size)
     hw = content_np.shape[:2]
     style_np = io.load_image(style, hw)

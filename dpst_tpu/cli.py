@@ -154,6 +154,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="VGG block-1 lowering: auto = space-to-depth "
                         "2x2 convs on TPU for 512^2-class images, s2d "
                         "forces it, conv keeps the direct 3x3 emitters")
+    g.add_argument("--s2d-gram",
+                   choices=("auto", "nd", "pallas"),
+                   default="auto",
+                   help="masked-Gram consumption of active s2d block-1 "
+                        "taps: nd (= auto) is the XLA parity-slice "
+                        "path; pallas opts into the streamed kernel "
+                        "(measured-slower in the full step)")
     g.add_argument("--remat",
                    choices=("none", "full", "block1", "block12"),
                    default="none",
@@ -229,6 +236,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
             "s2b_strips": "s2b_strips",
             "stream12": "stream12",
             "block1_impl": "block1_impl",
+            "s2d_gram": "s2d_gram",
             "history_terms": "history_terms",
         }
         for flag, field in flag_to_field.items():
@@ -286,6 +294,7 @@ def config_from_args(args, argv=None) -> "StylizeConfig":
         s2b_strips=args.s2b_strips,
         stream12=args.stream12,
         block1_impl=args.block1_impl,
+        s2d_gram=args.s2d_gram,
         remat=args.remat,
         history_terms=args.history_terms,
     )

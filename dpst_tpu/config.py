@@ -109,6 +109,25 @@ class StylizeConfig:
     # zero-weighted via the masks instead (exact; measured-negative:
     # 148.8 vs 161.1 @512², the +25% block HBM beats the saved slice).
     strip_gram: str = "auto"
+    # How the masked Gram consumes an ACTIVE s2d block-1 tap:
+    # "nd" = four parity lane-slices through losses.masked_grams_nd_multi
+    # (the XLA path — exact, but materializes the (…, K·C) mask-weighted
+    # block; the round-3 1024² trace attributes ~2.2 ms/step to its
+    # relayout copies + interior slice); "pallas" = the streamed
+    # ops/gram_s2d.py kernel — consumes the FULL raw grid tensor as a
+    # layout bitcast (no interior slice, no transposed operand, bias +
+    # ReLU in-kernel, parity regrouping as 0/1 selection matmuls),
+    # accumulating all K Grams band-by-band in VMEM. MEASURED-NEGATIVE
+    # in context: the kernel wins its standalone scan A/B at 1024²
+    # (8.56 vs 9.50 ms/step) but loses inside the full step (39.7 vs
+    # 40.3 it/s) — the selection matmuls are as costly as the Gram dot
+    # and the real tap arrives in the conv emitter's layout, so the
+    # "bitcast" flatten materializes (ARCHITECTURE.md campaign #10).
+    # "auto" therefore resolves to "nd"; "pallas" stays a validated
+    # opt-in. Like every Pallas custom call it does not
+    # SPMD-partition: spmd_safe() pins "nd", and the vmapped batch
+    # path does the same (parallel/batch.py).
+    s2d_gram: str = "auto"
     # Block-1/2 activation STREAMING (models/vgg.stream_block12_grams):
     # the single-chip path for ≥3072²-class images, where block-1/2
     # activations exceed HBM in any batch-form decomposition. Blocks 1-2
@@ -238,7 +257,7 @@ class StylizeConfig:
             s2b_strips=0, strip_gram="interior",
             # the s2d grids' odd-cell slices would likewise gather
             # across row shards; the direct convs partition cleanly
-            block1_impl="conv",
+            block1_impl="conv", s2d_gram="nd",
             # the strip scan's slices likewise; row-sharded meshes are
             # the multi-chip answer to the same memory regime
             stream12=0, stream12_impl="scan",
@@ -264,7 +283,7 @@ class StylizeConfig:
             scales=(), scale_iter_factor=1.0,
             style_layer_weights=(1.0,) * len(self.style_layers),
             remat="none", s2b_strips=0, strip_gram="interior",
-            block1_impl="conv",
+            block1_impl="conv", s2d_gram="nd",
             stream12=0, stream12_impl="scan", history_terms="auto",
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
@@ -323,6 +342,15 @@ class StylizeConfig:
             raise ValueError(f"unknown strip_gram {self.strip_gram!r}")
         if self.block1_impl not in ("auto", "s2d", "conv"):
             raise ValueError(f"unknown block1_impl {self.block1_impl!r}")
+        if self.s2d_gram not in ("auto", "nd", "pallas"):
+            raise ValueError(f"unknown s2d_gram {self.s2d_gram!r}")
+        if self.s2d_gram == "auto":
+            # "auto" resolves to the nd path everywhere (the kernel is
+            # measured-negative in context — see the field comment);
+            # canonicalize at construction so "auto" and "nd" share one
+            # jit static key instead of compiling identical programs
+            # twice (the s2b_strips=1 precedent, ADVICE r2).
+            object.__setattr__(self, "s2d_gram", "nd")
         if self.history_terms not in ("auto", "full", "total"):
             raise ValueError(
                 f"unknown history_terms {self.history_terms!r}")

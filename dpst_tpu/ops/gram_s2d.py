@@ -1,0 +1,322 @@
+"""Streamed masked-Gram Pallas kernel for the s2d block-1 tap.
+
+Round-3 campaign #10 — MEASURED-NEGATIVE in the full step; opt-in via
+s2d_gram="pallas" ("auto" resolves to the nd XLA path). Verdict: the
+kernel wins its standalone scan A/B at 1024² (8.56 vs 9.50 ms/step)
+but loses inside the full program (39.7 vs 40.3 it/s; device totals
+24.89 vs 24.52 ms/step) for two reasons the standalone harness could
+not see: (1) the 0/1 selection matmuls that regroup parities in-VMEM
+are ~530 GFLOP/step — as much MXU work as the Gram contraction itself
+at K=4, C=64; (2) the real tap is produced in the conv emitter's
+layout, so the "bitcast" flatten + band pad materialize (~2.5 ms/step
+of reshape/pad/slice), while the nd path's copies partially fuse with
+conv1_2's consumption of the same raw producer. Full autopsy in
+ARCHITECTURE.md.
+
+The s2d block-1 lowering (vgg._block1_s2d,
+SURVEY.md §2 comp.4 style loss on the conv1_1 tap) leaves the layer in
+grid form (S, nr, nc, 4C) with the four pixel parities as channel
+groups. The production XLA consumption (losses.masked_grams_nd_multi
+over four parity lane-slices) is exact but materializes the
+(..., K·C) mask-weighted block — ~555 MB/step of HBM traffic at 1024²
+(~5.7 ms standalone, round-3 scan A/B).
+
+A first kernel draft consumed a pre-sliced, pre-biased (P, 4C) tensor
+plus its transpose; the trace showed the two kernels at 1.9 ms and
+**3.8 ms/step of XLA-side movement around them** (operand transpose
+1.12 ms, bias-add 0.71, pad 0.65, two non-bitcast reshapes 1.15,
+interior-slice + cotangent re-assembly 0.85). This version eliminates
+that movement:
+
+  * the kernel consumes the FULL grid tensor flattened to (P, 4C) —
+    a layout bitcast — padded once to the band multiple (halo /
+    garbage / pad rows carry zero mask weight, so both the Gram and
+    its cotangent are exact without any interior slice);
+  * bias + ReLU happen in-kernel (the raw tap is the only operand);
+  * no transposed operand: the forward contracts over the SUBLANE dim
+    (dot_general ((0,), (0,))), with the mask-weighted block built in
+    VMEM band by band from 0/1 SELECTION MATMULS (CLAUDE.md rule 9 —
+    64-lane parity regrouping as matmuls, never sub-vreg lane ops):
+
+      cooked = max(z + b, 0)                        (TRW, 4C)
+      crep   = cooked · REP                         (TRW, 4KC)
+      mrep   = m2t · E                              (TRW, 4KC)
+      out   += (crep ∘ mrep)ᵀ · cooked   [dim-0]    (4KC, 4C)
+
+  backward (dG_k symmetrized into S_k, folded into `wall`):
+      t2  = cooked · wall                           (TRW, 4KC)
+      acc = Σ_j t2[:, j-block] ∘ (m2t · E_j)        (TRW, 4C)
+      df  = acc ∘ relu'(z + b)                      exact = _relu's VJP
+
+REP[q, par·KC + j·C + c] = 1 iff q = par·C + c (parity-tile
+replication) and E[q, par·KC + j·C + c] = 1 iff q = par·K + j (mask
+lane spread) are loop-invariant 0/1 constants packed once per run
+(pack_mask_consts → StylizeConstants; XLA's while-LICM refuses to
+hoist buffers this size when built in-loop).
+
+SPMD caveat (CLAUDE.md): like every Pallas custom call this does not
+partition under a sharded mesh; sharded paths keep the XLA nd Gram
+(config.spmd_safe canonicalizes s2d_gram="nd").
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_trw(p: int, k: int, c4: int) -> int:
+    """Largest sublane-multiple band height whose working set fits
+    VMEM (zp/m2t blocks + the f32 temps + the (TRW, 4KC) crep/mrep/fw
+    or t2 bands)."""
+    kc4 = k * c4
+    for trw in (4096, 2048, 1024, 512, 256, _LANE):
+        if trw > max(p, _LANE):
+            continue
+        work = (trw * c4 * (2 + 4 + 4)      # z, zf, cooked
+                + trw * _LANE * 2           # m2t block
+                + 3 * trw * kc4 * 4         # crep/mrep/fw (or t2) f32
+                + kc4 * c4 * 4)             # out / wall
+        if work <= _VMEM_BUDGET:
+            return trw
+    return _LANE
+
+
+def _rep_consts(k: int, c: int, dtype) -> tuple:
+    """The two loop-invariant 0/1 lane-regrouping matrices (built once
+    per run — see module docstring):
+      REP (4C, 4KC): REP[q, par·KC + j·C + c1] = 1 iff q = par·C + c1
+      E   (128, 4KC): E[q, par·KC + j·C + c1] = 1 iff q = par·K + j
+    """
+    c4, kc = 4 * c, k * c
+    col = jnp.arange(4 * k * c)
+    par, j, c1 = col // kc, (col % kc) // c, col % c
+    q4 = jnp.arange(c4)[:, None]
+    rep = (q4 == (par * c + c1)[None, :]).astype(dtype)
+    qe = jnp.arange(_LANE)[:, None]
+    e = (qe == (par * k + j)[None, :]).astype(dtype)
+    return rep, e
+
+
+def _fwd_kernel(zp_ref, m2t_ref, bias_ref, rep_ref, e_ref, out_ref,
+                *, k: int, c: int):
+    i = pl.program_id(0)
+    cdt = zp_ref.dtype
+    # cook in f32 (no bf16 compares on TPU), round back to the compute
+    # dtype at the same point the XLA nd path rounds its weighted block
+    zf = zp_ref[...].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    cooked = jnp.maximum(zf, 0.0).astype(cdt)                # (TRW, 4C)
+    crep = jnp.dot(cooked, rep_ref[...],
+                   preferred_element_type=jnp.float32)       # (TRW, 4KC)
+    mrep = jnp.dot(m2t_ref[...], e_ref[...],
+                   preferred_element_type=jnp.float32)       # (TRW, 4KC)
+    fw = (crep * mrep).astype(cdt)
+    part = jax.lax.dot_general(
+        fw, cooked, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (4KC, 4C)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = part
+
+    @pl.when(i > 0)
+    def _acc():
+        out_ref[...] += part
+
+
+def _bwd_kernel(zp_ref, m2t_ref, bias_ref, wall_ref, df_ref,
+                *, k: int, c: int):
+    zf = zp_ref[...].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    cb = jnp.maximum(zf, 0.0).astype(zp_ref.dtype)
+    t2 = jnp.dot(cb, wall_ref[...],
+                 preferred_element_type=jnp.float32)     # (TRW, 4KC)
+    m2t = m2t_ref[...]                                   # (TRW, 128)
+    c4 = 4 * c
+    # lane-index helpers for the 0/1 replication matmuls (rule 9: lane
+    # regrouping as selection matmuls, never sub-vreg slices)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_LANE, c4), 0)
+    par = jax.lax.broadcasted_iota(jnp.int32, (_LANE, c4), 1) // c
+    acc = jnp.zeros(zf.shape, jnp.float32)
+    for j in range(k):
+        ej = (row == par * k + j).astype(m2t.dtype)      # (128, 4C)
+        rep = jnp.dot(m2t, ej, preferred_element_type=jnp.float32)
+        acc += t2[:, j * c4:(j + 1) * c4] * rep          # full-tile slice
+    # _relu (jnp.maximum) tie-split subgradient: 1 / 0.5 / 0 at >0/=0/<0
+    dprime = jnp.where(zf > 0.0, 1.0, jnp.where(zf == 0.0, 0.5, 0.0))
+    df_ref[...] = (acc * dprime).astype(df_ref.dtype)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gram_s2d_raw(zp: jnp.ndarray, bias: jnp.ndarray, m2t: jnp.ndarray,
+                  rep: jnp.ndarray, e: jnp.ndarray,
+                  k: int, c: int) -> jnp.ndarray:
+    """Unnormalized per-parity masked Grams of the RAW full-grid s2d
+    tap: (Ppad, 4C) rows (bias NOT added, halo/garbage/pad rows
+    allowed — their mask weight must be zero) -> (4, K, C, 4C) f32
+    (column block `par` of parity row-group `par` holds that parity's
+    Gram contribution; the rest is cross-parity garbage the caller
+    discards). m2t is the (Ppad, 128) per-(parity·K+j) m² column stack
+    (lanes 4K.. zero); rep/e are _rep_consts. Gradient flows to zp
+    only."""
+    out, _ = _gram_s2d_fwd(zp, bias, m2t, rep, e, k, c)
+    return out
+
+
+def _gram_s2d_fwd(zp, bias, m2t, rep, e, k, c):
+    p, c4 = zp.shape
+    trw = _pick_trw(p, k, c4)
+    assert p % trw == 0, (p, trw)
+    kc4 = 4 * k * c
+    out = pl.pallas_call(
+        partial(_fwd_kernel, k=k, c=c),
+        grid=(p // trw,),
+        in_specs=[
+            pl.BlockSpec((trw, c4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((trw, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c4, kc4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANE, kc4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kc4, c4), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kc4, c4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(_VMEM_BUDGET * 1.8)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p * kc4 * (2 * c4 + _LANE), transcendentals=0,
+            bytes_accessed=(p * c4 + p * _LANE) * zp.dtype.itemsize),
+        interpret=_interpret(),
+    )(zp, m2t, bias, rep, e)
+    return out.reshape(4, k, c, c4), (zp, bias, m2t)
+
+
+def _gram_s2d_bwd(k, c, res, dg):
+    zp, bias, m2t = res
+    p, c4 = zp.shape
+    cdt = zp.dtype
+    trw = _pick_trw(p, k, c4)
+    # dG arrives (4, K, C, 4C); only the diagonal parity column-blocks
+    # are real (the caller built G from them) — mask to them before
+    # symmetrizing so the forward's cross-parity garbage blocks can
+    # never leak a cotangent.
+    dg = dg.astype(jnp.float32)
+    dgk = jnp.stack([jax.lax.slice_in_dim(dg[par], par * c,
+                                          (par + 1) * c, axis=2)
+                     for par in range(4)])                # (4, K, C, C)
+    s = dgk + jnp.swapaxes(dgk, 2, 3)                     # (4, K, C, C)
+    # wall[par·C + c1, j·4C + par·C + c2] = s[par, j, c1, c2]; its 0/1
+    # block structure folds the parity extraction into the t2 matmul.
+    w5 = jnp.einsum("pjab,pq->pajqb", s, jnp.eye(4, dtype=jnp.float32))
+    wall = w5.reshape(c4, k * c4)
+    df = pl.pallas_call(
+        partial(_bwd_kernel, k=k, c=c),
+        grid=(p // trw,),
+        in_specs=[
+            pl.BlockSpec((trw, c4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((trw, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c4, k * c4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((trw, c4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, c4), cdt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(_VMEM_BUDGET * 1.8)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p * c4 * k * c4 + 2 * p * _LANE * k * c4,
+            transcendentals=0,
+            bytes_accessed=(2 * p * c4 + p * _LANE) * zp.dtype.itemsize),
+        interpret=_interpret(),
+    )(zp, m2t, bias, wall.astype(cdt))
+    # bias/m2t/rep/e cotangents are never requested (constants in the
+    # loss graph) — the zeros are DCE'd by XLA.
+    return (df, jnp.zeros_like(bias), jnp.zeros_like(m2t),
+            jnp.zeros((c4, 4 * k * c), cdt), jnp.zeros((_LANE, 4 * k * c),
+                                                       cdt))
+
+
+_gram_s2d_raw.defvjp(_gram_s2d_fwd, _gram_s2d_bwd)
+
+
+def pack_mask_consts(m_parts, nr: int, o0: int, compute_dtype,
+                     norm: str = "m2"):
+    """Pack the four per-parity SLICED grid masks (vgg.s2d_masks_par,
+    each (K, S, ro, co) f32 — interior rows o0..o0+ro of the full
+    nr-row grid) into the kernel's loop-invariant constants:
+
+      m2t  (Ppad, 128)   m² of the FULL grid (halo rows / row padding
+                         zero), lane par·K + j; P = S·nr·co
+      rep  (4C?, 4KC)    \\ the 0/1 lane-regrouping constants
+      e    (128, 4KC)    / (_rep_consts) in the compute dtype
+      nvec (K,) f32      the union normalizer (Σm² / Σm per norm)
+
+    Built OUTSIDE the optimization scan (StylizeConstants — XLA's
+    while-LICM refuses to hoist buffers this size)."""
+    cdt = jnp.dtype(compute_dtype)
+    k, s, ro, co = m_parts[0].shape
+    full = [jnp.pad(mp, ((0, 0), (0, 0), (o0, nr - o0 - ro), (0, 0)))
+            for mp in m_parts]
+    flat = jnp.stack([mp.reshape(k, -1) for mp in full])   # (4, K, P)
+    p = flat.shape[2]
+    trw = _pick_trw(p, k, 4 * 64)
+    ppad = _round_up(p, trw)
+    mb = flat.astype(cdt)
+    m2 = (mb * mb).reshape(4 * k, p)
+    m2t = jnp.pad(m2.T, ((0, ppad - p), (0, _LANE - 4 * k)))
+    m32 = flat.astype(jnp.float32)
+    nvec = (jnp.sum(m32 * m32, axis=(0, 2)) if norm == "m2"
+            else jnp.sum(m32, axis=(0, 2)))
+    rep, e = _rep_consts(k, 64, cdt)
+    return m2t, rep, e, nvec
+
+
+def masked_grams_s2d_tap(tap, m2t: jnp.ndarray, rep: jnp.ndarray,
+                         e: jnp.ndarray, nvec: jnp.ndarray,
+                         eps: float = 1e-8) -> jnp.ndarray:
+    """All K masked Grams of an s2d block-1 tap via the Pallas kernel:
+    S2dTap (raw, with bias) × packed mask constants -> (K, C, C),
+    normalized like losses.masked_grams_nd_multi over the parity union.
+
+    The XLA-side work is ONE fused flatten(bitcast)+pad producer and
+    the (4, K, C, C) diagonal-block extraction of the kernel output —
+    no interior slice, no bias materialization, no transposed operand
+    (each measured as a full-tensor relayout in the first draft)."""
+    d = tap.data
+    assert tap.bias is not None, "kernel path consumes RAW s2d taps"
+    s, nr, nc, c4 = d.shape
+    c = c4 // 4
+    k = nvec.shape[0]
+    p = s * nr * nc
+    zp = d.reshape(p, c4)
+    ppad = m2t.shape[0]
+    if ppad != p:
+        zp = jnp.pad(zp, ((0, ppad - p), (0, 0)))
+    bias8 = jnp.broadcast_to(tap.bias.reshape(1, c4), (8, c4))
+    g4 = _gram_s2d_raw(zp, bias8, m2t, rep, e, k, c)     # (4, K, C, 4C)
+    g = sum(jax.lax.slice_in_dim(g4[par], par * c, (par + 1) * c,
+                                 axis=2)
+            for par in range(4))                         # (K, C, C)
+    return g / jnp.maximum(nvec, eps)[:, None, None]

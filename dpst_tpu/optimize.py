@@ -53,6 +53,11 @@ class StylizeConstants(NamedTuple):
     # padded mask buffers, which cost ~0.28 ms/step built in-loop.
     # None whenever the s2d path is inactive.
     s2d_mask_parts: Any = None
+    # {layer: (m2t, rep, e, nvec)} loop-invariant operands of the
+    # streamed s2d-Gram Pallas kernel (ops/gram_s2d.pack_mask_consts),
+    # packed alongside s2d_mask_parts when cfg.s2d_gram resolves to the
+    # kernel. None otherwise (the loss falls back to the nd path).
+    s2d_gram_consts: Any = None
 
 
 def lap_anchor_active(cfg: StylizeConfig, h: int, w: int) -> bool:
@@ -122,6 +127,23 @@ def _strip_gram_perm(cfg: StylizeConfig, image_shape, all_layers,
         if losses.gram_route(hl, wl, k, c, cfg.gram_impl) == "fused":
             out.append(l)
     return tuple(out)
+
+
+def _s2d_gram_kernel(cfg: StylizeConfig, h: int, w: int) -> bool:
+    """Should active s2d block-1 taps feed the streamed Pallas Gram
+    (ops/gram_s2d.py) instead of the nd XLA path? "auto" resolves to
+    the nd path everywhere: the kernel won its standalone scan A/B at
+    1024² (8.56 vs 9.50 ms/step) but LOSES inside the full step (39.7
+    vs 40.3 it/s, 24.89 vs 24.52 ms/step device time) — in context the
+    kernels run 3.70 ms/step (the 0/1 selection matmuls are ~530
+    GFLOP/step, as costly as the Gram dot itself) plus ~2.5 ms of
+    reshape/pad/slice because the real tap arrives in the conv
+    emitter's layout, while the nd path's copies partially fuse with
+    conv1_2's consumption of the same producer. Full autopsy in
+    ARCHITECTURE.md (campaign #10)."""
+    if cfg.s2d_gram == "pallas":
+        return True
+    return False
 
 
 def _block1_s2d_ok(cfg: StylizeConfig, image_shape, all_layers,
@@ -263,6 +285,22 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                         # precomputed from run_segment when available
                         # (consts.s2d_mask_parts — in-loop they cost
                         # ~0.28 ms/step, unhoisted).
+                        gc = getattr(consts, "s2d_gram_consts", None)
+                        kc = (gc or {}).get(l) if isinstance(
+                            gc, dict) else None
+                        if kc is not None:
+                            # streamed Pallas Gram (ops/gram_s2d.py):
+                            # the raw grid tensor flattens as a layout
+                            # bitcast; bias + ReLU + parity regrouping
+                            # + all K Grams happen in-kernel (the nd
+                            # path's weighted-block relayouts and
+                            # interior slice never exist).
+                            from .ops import gram_s2d
+                            m2t, rep, e, nvec = kc
+                            g_out[l] = gram_s2d.masked_grams_s2d_tap(
+                                tap, m2t, rep, e, nvec)
+                            del feats[l]
+                            continue
                         mp = getattr(consts, "s2d_mask_parts", None)
                         m_par = (mp or {}).get(l) if isinstance(
                             mp, dict) else None
@@ -428,7 +466,19 @@ def _with_s2d_masks(cfg: StylizeConfig, consts: StylizeConstants,
         l: tuple(vgg.s2d_masks_par(consts.masks[l], strips, halo,
                                    -1 if l == "conv1_1" else 0))
         for l in b1_layers}
-    return consts._replace(s2d_mask_parts=parts)
+    consts = consts._replace(s2d_mask_parts=parts)
+    if _s2d_gram_kernel(cfg, h, w):
+        from .ops import gram_s2d
+        own = h // strips
+        norm = "m1" if cfg.style_norm == "paper" else "m2"
+        gc = {}
+        for l in b1_layers:
+            g = 1 if l == "conv1_1" else 0     # odd vs aligned grid
+            nr = (own + 2 * halo + 2 * g) // 2
+            gc[l] = gram_s2d.pack_mask_consts(
+                parts[l], nr, halo // 2, cfg.compute_dtype, norm=norm)
+        consts = consts._replace(s2d_gram_consts=gc)
+    return consts
 
 
 @partial(jax.jit, static_argnames=("n_steps", "cfg"))

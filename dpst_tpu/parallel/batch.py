@@ -113,6 +113,13 @@ def stylize_batch(contents, styles, cmasks, smasks,
         # redundancy). The gate can't see the vmapped axis, so off here.
         import dataclasses
         cfg = dataclasses.replace(cfg, s2b_strips=0)
+    if cfg.s2d_gram != "nd":
+        # the per-pair loss runs under vmap; batching a pallas_call
+        # lifts it onto an extra grid dim whose performance was never
+        # measured here (and the kernel's measured win is single-pair
+        # 1024²+). The nd path vmaps as plain dots — keep it.
+        import dataclasses
+        cfg = dataclasses.replace(cfg, s2d_gram="nd")
     if vgg_params is None:
         from ..models import vgg
         vgg_params = vgg.get_params(seed=cfg.seed)

@@ -321,3 +321,52 @@ def test_block1_impl_canonicalization():
     assert cfg.loop_config().block1_impl == "s2d"
     with pytest.raises(ValueError):
         dpst_tpu.StylizeConfig(block1_impl="nope")
+
+
+@pytest.mark.parametrize("kw", [
+    {},                                       # odd-grid conv1_1 tap
+    {"style_layers": ("conv1_1", "conv1_2", "conv2_1", "conv3_1",
+                      "conv4_1", "conv5_1"),
+     "style_layer_weights": (0.2,) * 6},      # + aligned-grid conv1_2 tap
+    {"s2b_strips": 0},                        # plain batch (strips=1)
+    {"style_norm": "paper"},                  # m1 normalizer in nvec
+], ids=["default", "conv1_2-tap", "plain-batch", "paper-norm"])
+def test_s2d_gram_kernel_loss_parity(kw):
+    """Campaign #10: the streamed s2d-Gram Pallas kernel
+    (ops/gram_s2d.py, interpret mode on CPU) matches the nd XLA path on
+    the full loss value + gradient, consts packed the production way
+    (_with_s2d_masks -> s2d_gram_consts)."""
+    content, style, masks = _tall_pair()
+    params = vgg.get_params(seed=0)
+
+    def vg(s2d_gram):
+        cfg = dpst_tpu.StylizeConfig(
+            **{**BASE, **kw}, block1_impl="s2d", s2d_gram=s2d_gram)
+        consts = prepare_constants(
+            jnp.asarray(content), jnp.asarray(style), jnp.asarray(masks),
+            jnp.asarray(masks), cfg, params)
+        lcfg = cfg.loop_config()
+        consts = optimize._with_s2d_masks(lcfg, consts, content.shape)
+        if s2d_gram == "pallas":
+            assert consts.s2d_gram_consts is not None
+            assert "conv1_1" in consts.s2d_gram_consts
+        loss_fn = optimize.make_loss_fn(lcfg)
+        w = optimize.LossWeights.from_config(cfg)
+        (v, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            jnp.asarray(content) + 3.0, consts, w, params)
+        return np.asarray(v), np.asarray(g)
+
+    v0, g0 = vg("nd")
+    v1, g1 = vg("pallas")
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    scale = np.max(np.abs(g0))
+    np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
+
+
+def test_s2d_gram_canonicalization():
+    cfg = dpst_tpu.StylizeConfig(s2d_gram="pallas")
+    assert cfg.prepare_config().s2d_gram == "nd"
+    assert cfg.spmd_safe().s2d_gram == "nd"
+    assert cfg.loop_config().s2d_gram == "pallas"
+    with pytest.raises(ValueError):
+        dpst_tpu.StylizeConfig(s2d_gram="nope")
