@@ -457,6 +457,59 @@ def _relu(x: jnp.ndarray) -> jnp.ndarray:
 _S2B_HALO = 8
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _s2b_stack(x0: jnp.ndarray, strips: int) -> jnp.ndarray:
+    """(H, W, C) image -> (S, hs+2·halo, W, C) overlapping row strips.
+
+    Forward is the plain stack-of-slices of the zero-padded image (strip
+    i covers padded rows [i·hs, i·hs+hs+16)). The custom VJP exists for
+    the BACKWARD: autodiff of stack+slice lowers to an S-way split whose
+    pad-add chain XLA turns into kLoop fusions with S separate
+    (1, hs+16, W, C) outputs in the 3-lane T(4,128) layout — measured
+    16.1 ms/step at 2048² (fusion.982/983, 11% of the step) for 31 MB
+    of actual data. The explicit overlap-add below is bandwidth-formed:
+    each padded-image row receives at most TWO contributions (one
+    strip's "own" rows — a pure (S·hs, W, C) reshape — and one
+    neighbor's 2·halo overlap rows — one pad + reshape + shifted add),
+    and a two-term fp add is commutative, so the result is bit-identical
+    to the autodiff split regardless of its accumulation order.
+    """
+    hs = x0.shape[0] // strips
+    h0 = _S2B_HALO
+    xp = jnp.pad(x0, ((h0, h0), (0, 0), (0, 0)))
+    return jnp.stack([
+        jax.lax.slice_in_dim(xp, i * hs, i * hs + hs + 2 * h0, axis=0)
+        for i in range(strips)])
+
+
+def _s2b_stack_fwd(x0, strips):
+    return _s2b_stack(x0, strips), x0.shape[0]
+
+
+def _s2b_stack_bwd(strips, h, dstrips):
+    s, l, w, c = dstrips.shape
+    h0 = _S2B_HALO
+    hs = l - 2 * h0
+    # "own" rows: strip i's rows [0, hs) land at padded rows
+    # [i·hs, (i+1)·hs) — disjoint, tiling [0, h): a pure reshape.
+    a = dstrips[:, :hs].reshape(s * hs, w, c)
+    # overlap rows: strip i's rows [hs, hs+2·h0) land at padded rows
+    # [(i+1)·hs, (i+1)·hs + 2·h0) — disjoint across i because
+    # hs >= 4·h0 (_s2b_enabled): pad each block back to hs rows and
+    # reshape; the flat tensor then covers padded rows [hs, hs+s·hs),
+    # of which only [hs, h+2·h0) intersect the padded image (the rest
+    # is the last block's zero padding).
+    b = jnp.pad(dstrips[:, hs:],
+                ((0, 0), (0, hs - 2 * h0), (0, 0), (0, 0)))
+    b = b.reshape(s * hs, w, c)[:h + 2 * h0 - hs]
+    dxp = (jnp.pad(a, ((0, 2 * h0), (0, 0), (0, 0)))
+           + jnp.pad(b, ((hs, 0), (0, 0), (0, 0))))
+    return (dxp[h0:h0 + h],)
+
+
+_s2b_stack.defvjp(_s2b_stack_fwd, _s2b_stack_bwd)
+
+
 @jax.tree_util.register_pytree_node_class
 class StripTap:
     """A block-1/2 tap left in strip form (extract_features strip_taps).
@@ -1164,11 +1217,9 @@ def extract_features(params: dict, image: jnp.ndarray,
     s2b_strips = _resolve_s2b(s2b_strips, x.shape[1], x.shape[2])
     if _s2b_enabled(s2b_strips, x.shape, layers):
         hs = x.shape[1] // s2b_strips
-        xp = jnp.pad(x[0], ((_S2B_HALO, _S2B_HALO), (0, 0), (0, 0)))
-        x = jnp.stack([
-            jax.lax.slice_in_dim(xp, i * hs, i * hs + hs + 2 * _S2B_HALO,
-                                 axis=0)
-            for i in range(s2b_strips)])          # (S, hs+16, W, 3)
+        # custom-VJP stack: autodiff's S-way split backward costs
+        # 16 ms/step at 2048² — see _s2b_stack
+        x = _s2b_stack(x[0], s2b_strips)          # (S, hs+16, W, 3)
         strip_halo, strip_own = _S2B_HALO, hs
 
     def _interior(t):
