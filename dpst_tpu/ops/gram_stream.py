@@ -271,22 +271,44 @@ def masked_grams_stream(feat: jnp.ndarray, masks: jnp.ndarray,
     """
     h, w, c = feat.shape
     k = masks.shape[0]
+    return masked_grams_stream_flat(
+        feat.reshape(h * w, c), masks.reshape(k, h * w),
+        eps=eps, compute_dtype=compute_dtype, norm=norm)
+
+
+def masked_grams_stream_flat(f2d: jnp.ndarray, masks_flat: jnp.ndarray,
+                             eps: float = 1e-8,
+                             compute_dtype: str | jnp.dtype = "float32",
+                             norm: str = "m2") -> jnp.ndarray:
+    """`masked_grams_stream` on PRE-FLATTENED operands: (P, C) × (K, P).
+
+    The Gram sum is pixel-permutation-invariant, so any consistent
+    (features, masks) pixel order is exact — including orders that
+    carry zero-weighted halo/padding rows. This is the strip-form entry
+    (round-3 campaign #11b): at 2048²+ the conv1_1 tap lives in s2b
+    strip form, and feeding the kernel `vgg.perm_flatten_halo(tap)` (a
+    layout BITCAST of the full strip tensor — no interior slice) with
+    `vgg.perm_masks_halo` weights replaces the image-order feed chain
+    the trace priced at ~10 ms/step (interior slice 3.3 ms + three
+    relayout copies) with the kernel's own +25% halo-row overhead.
+    """
+    p, c = f2d.shape
+    k = masks_flat.shape[0]
     cdt = jnp.dtype(compute_dtype)
-    p = h * w
     trw = _pick_trw(p, k, c, cdt.itemsize)
     ppad = _round_up(p, trw)
     # bf16 sublane tiles are 16 rows; zero rows/classes contribute 0.
     kpad = _round_up(k, 16)
 
-    f2 = feat.astype(cdt).reshape(p, c)
-    m2 = (masks * masks).astype(cdt).reshape(k, p)
+    f2 = f2d.astype(cdt)
+    m2 = (masks_flat * masks_flat).astype(cdt)
     if ppad != p:
         f2 = jnp.pad(f2, ((0, ppad - p), (0, 0)))
         m2 = jnp.pad(m2, ((0, 0), (0, ppad - p)))
     m2 = jnp.pad(m2, ((0, kpad - k), (0, 0)))
 
     g = _gram_raw(f2, m2, k)                            # (K, C, C) fp32
-    masks32 = masks.astype(jnp.float32)
-    n = (jnp.sum(masks32 ** 2, axis=(1, 2)) if norm == "m2"
-         else jnp.sum(masks32, axis=(1, 2)))
+    masks32 = masks_flat.astype(jnp.float32)
+    n = (jnp.sum(masks32 ** 2, axis=1) if norm == "m2"
+         else jnp.sum(masks32, axis=1))
     return g / jnp.maximum(n, eps)[:, None, None]

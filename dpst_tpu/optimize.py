@@ -333,8 +333,34 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                             norm=gram_norm)
                         del feats[l]
                     else:
-                        # e.g. a hybrid/stream-routed or content tap:
-                        # back to the image-order tensor (= interior)
+                        k_l, hl, wl = consts.masks[l].shape
+                        c_l = tap.data.shape[-1]
+                        if (l in style_lw
+                                and l not in cfg.content_layers
+                                and losses.gram_route(
+                                    hl, wl, k_l, c_l,
+                                    cfg.gram_impl) == "stream"):
+                            # stream-routed strip tap (2048²+ conv1_1):
+                            # feed the kernel the FULL strip tensor
+                            # flattened in layout order (a bitcast) with
+                            # halo rows zero-weighted via the permuted
+                            # masks — the interior slice and the
+                            # image-order relayout copies (~10 ms/step
+                            # at 2048², campaign #11b) never exist.
+                            from .ops import gram_stream
+                            f2d = vgg.perm_flatten_halo(tap)
+                            mfl = vgg.perm_masks_halo(
+                                consts.masks[l], tap.data.shape[0],
+                                tap.halo)
+                            g_out[l] = gram_stream.\
+                                masked_grams_stream_flat(
+                                    f2d, mfl,
+                                    compute_dtype=cfg.compute_dtype,
+                                    norm=gram_norm)
+                            del feats[l]
+                            continue
+                        # e.g. a hybrid-routed or content tap: back to
+                        # the image-order tensor (= interior)
                         feats[l] = tap.plain()
 
         l_content = jnp.float32(0.0)

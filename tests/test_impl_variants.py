@@ -97,6 +97,32 @@ def test_s2b_strips_full_loss_parity():
     np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
 
 
+def test_stream_strip_tap_parity():
+    """Campaign #11b: a stream-routed STRIP tap feeds the kernel the
+    full strip tensor via the layout-order bitcast flatten with
+    halo-zeroed permuted masks (optimize.make_loss_fn →
+    gram_stream.masked_grams_stream_flat) — value+grad must match the
+    unstripped stream path (and the default fused path) to fp
+    summation-order noise."""
+    r = np.random.default_rng(13)
+    content = r.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    style = r.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    masks = np.zeros((2, 256, 64), np.float32)
+    masks[0, :128] = 1.0
+    masks[1, 128:] = 1.0
+    params = vgg.get_params(seed=0)
+    v0, g0 = _val_grad(params, content, style, masks,
+                       gram_impl="stream")
+    v1, g1 = _val_grad(params, content, style, masks,
+                       gram_impl="stream", s2b_strips=8)
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+    scale = np.max(np.abs(g0))
+    np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
+    vd, gd = _val_grad(params, content, style, masks)
+    np.testing.assert_allclose(v1, vd, rtol=1e-5)
+    np.testing.assert_allclose(g1 / scale, gd / scale, atol=1e-5)
+
+
 def test_strip_gram_perm_parity():
     """strip_gram="perm" (layout-order tap flatten + permuted masks)
     reproduces the default loss and gradient: the Gram sum is
