@@ -344,13 +344,12 @@ class StylizeConfig:
             raise ValueError(f"unknown block1_impl {self.block1_impl!r}")
         if self.s2d_gram not in ("auto", "nd", "pallas"):
             raise ValueError(f"unknown s2d_gram {self.s2d_gram!r}")
-        if self.s2d_gram == "auto":
-            # "auto" resolves to the nd path everywhere (the kernel is
-            # measured-negative in context — see the field comment);
-            # canonicalize at construction so "auto" and "nd" share one
-            # jit static key instead of compiling identical programs
-            # twice (the s2b_strips=1 precedent, ADVICE r2).
-            object.__setattr__(self, "s2d_gram", "nd")
+        # "auto" stays "auto": it resolves BY SIZE at trace time
+        # (optimize._s2d_gram_kernel) — nd at fused-routed sizes (the
+        # kernel measured-negative in context at ≤1024², campaign
+        # #10), the streamed Pallas kernel past the fused block bound
+        # (2048²+, where nd is impossible and the kernel beats the
+        # standard-conv fallback 8.92 vs 8.58 it/s — round 3 #12).
         if self.history_terms not in ("auto", "full", "total"):
             raise ValueError(
                 f"unknown history_terms {self.history_terms!r}")

@@ -1119,8 +1119,12 @@ def _resolve_block1(block1_impl: str, h: int, w: int) -> bool:
     replaced the explicit cell build), but 676.5 -> 505.8 @256² (the
     dot11 tall-matmul conv1_1 it displaces is the better lowering at
     that size) — so auto gates at h·w >= 2^18 pixels. No upper bound:
-    past the fused-Gram block limit (2048²+) optimize._block1_s2d_ok
-    self-gates on the gram route. CPU has no MXU underfill to solve."""
+    past the fused-Gram block limit (2048²+) the nd Gram consumption is
+    impossible, and optimize._s2d_gram_kernel resolves s2d_gram="auto"
+    to the streamed Pallas kernel instead (campaign #12: 8.92 vs 8.58
+    it/s over the standard-conv fallback at 2048²; under explicit
+    s2d_gram="nd" the gate self-closes on the gram route as before).
+    CPU has no MXU underfill to solve."""
     if block1_impl == "s2d":
         return True
     return (block1_impl == "auto" and jax.default_backend() == "tpu"

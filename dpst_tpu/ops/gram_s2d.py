@@ -1,7 +1,14 @@
 """Streamed masked-Gram Pallas kernel for the s2d block-1 tap.
 
-Round-3 campaign #10 — MEASURED-NEGATIVE in the full step; opt-in via
-s2d_gram="pallas" ("auto" resolves to the nd XLA path). Verdict: the
+Round-3 campaign #10 — MEASURED-NEGATIVE in the full step at
+fused-routed sizes (≤1024²-class), where "auto" keeps the nd XLA path
+and the kernel stays an opt-in (s2d_gram="pallas"). PAST the fused
+block bound (2048²-class conv1_1) the nd consumption is impossible and
+"auto" resolves HERE instead (optimize._s2d_gram_kernel, campaign
+#12): keeping block 1 in s2d form through this kernel beats the
+standard-conv fallback 8.92 vs 8.58 it/s at 2048² — the fallback's
+3-channel transposed-conv input gradient alone was 17.7 ms/step (15%).
+The ≤1024² verdict stands: the
 kernel wins its standalone scan A/B at 1024² (8.56 vs 9.50 ms/step)
 but loses inside the full program (39.7 vs 40.3 it/s; device totals
 24.89 vs 24.52 ms/step) for two reasons the standalone harness could

@@ -129,20 +129,26 @@ def _strip_gram_perm(cfg: StylizeConfig, image_shape, all_layers,
     return tuple(out)
 
 
-def _s2d_gram_kernel(cfg: StylizeConfig, h: int, w: int) -> bool:
+def _s2d_gram_kernel(cfg: StylizeConfig, h: int, w: int,
+                     k: int | None = None) -> bool:
     """Should active s2d block-1 taps feed the streamed Pallas Gram
-    (ops/gram_s2d.py) instead of the nd XLA path? "auto" resolves to
-    the nd path everywhere: the kernel won its standalone scan A/B at
-    1024² (8.56 vs 9.50 ms/step) but LOSES inside the full step (39.7
-    vs 40.3 it/s, 24.89 vs 24.52 ms/step device time) — in context the
-    kernels run 3.70 ms/step (the 0/1 selection matmuls are ~530
-    GFLOP/step, as costly as the Gram dot itself) plus ~2.5 ms of
-    reshape/pad/slice because the real tap arrives in the conv
-    emitter's layout, while the nd path's copies partially fuse with
-    conv1_2's consumption of the same producer. Full autopsy in
-    ARCHITECTURE.md (campaign #10)."""
+    (ops/gram_s2d.py) instead of the nd XLA path? "auto" resolves BY
+    SIZE: at fused-routed block-1 shapes (≤1024²-class) the nd path —
+    the kernel won its standalone scan A/B at 1024² (8.56 vs 9.50
+    ms/step) but LOSES inside the full step (39.7 vs 40.3 it/s; the 0/1
+    selection matmuls are ~530 GFLOP/step plus ~2.5 ms of layout
+    copies, while the nd path's copies partially fuse with conv1_2 —
+    campaign #10's autopsy in ARCHITECTURE.md). PAST the fused block
+    bound (2048²-class conv1_1) nd is impossible and the kernel keeps
+    the s2d form alive: full-step 8.92 vs 8.58 it/s over the
+    standard-conv fallback, whose 3-channel transposed-conv dx was 15%
+    of the step (round-3 campaign #12)."""
     if cfg.s2d_gram == "pallas":
         return True
+    if (cfg.s2d_gram == "auto" and k is not None
+            and jax.default_backend() == "tpu"):
+        c = vgg.VGG19_BLOCKS[0][1]
+        return losses.gram_route(h, w, k, c, cfg.gram_impl) != "fused"
     return False
 
 
@@ -171,7 +177,14 @@ def _block1_s2d_ok(cfg: StylizeConfig, image_shape, all_layers,
             return False
         k, hl, wl = mask_shapes[l]
         c = vgg.VGG19_BLOCKS[0][1]
-        if losses.gram_route(hl, wl, k, c, cfg.gram_impl) != "fused":
+        if (losses.gram_route(hl, wl, k, c, cfg.gram_impl) != "fused"
+                and not _s2d_gram_kernel(cfg, h, w, k)):
+            # the nd consumption needs the fused XLA Gram (the dot
+            # absorbs the parity slices); past the fused block bound
+            # only the streamed Pallas kernel (campaign #10) can take
+            # an s2d tap — with s2d_gram="pallas" the size gate lifts
+            # (the kernel builds the weighted block band-by-band in
+            # VMEM, so there is no full-block materialization to bound)
             return False
     return True
 
@@ -480,6 +493,16 @@ def _with_s2d_masks(cfg: StylizeConfig, consts: StylizeConstants,
                    if l in consts.masks}
     if len(mask_shapes) != len(b1_layers):
         return consts
+    _p2 = vgg.LAYER_ORDER.index("pool2")
+    b12_layers = tuple(l for l in all_layers
+                       if vgg.LAYER_ORDER.index(l) < _p2)
+    st12 = vgg.stream12_strips(cfg.stream12, *image_shape[:2])
+    if (vgg.stream12_compatible(all_layers, st12, image_shape)
+            and all(l in cfg.style_layers and l not in cfg.content_layers
+                    for l in b12_layers)):   # mirrors make_loss_fn: the
+        return consts                        # ≥3072² stream12 path owns
+                                             # blocks 1-2 — s2d consts
+                                             # would be dead weight
     if not _block1_s2d_ok(cfg, image_shape, all_layers, b1_layers,
                           mask_shapes):
         return consts
@@ -493,7 +516,7 @@ def _with_s2d_masks(cfg: StylizeConfig, consts: StylizeConstants,
                                    -1 if l == "conv1_1" else 0))
         for l in b1_layers}
     consts = consts._replace(s2d_mask_parts=parts)
-    if _s2d_gram_kernel(cfg, h, w):
+    if _s2d_gram_kernel(cfg, h, w, mask_shapes[b1_layers[0]][0]):
         from .ops import gram_s2d
         own = h // strips
         norm = "m1" if cfg.style_norm == "paper" else "m2"

@@ -368,5 +368,101 @@ def test_s2d_gram_canonicalization():
     assert cfg.prepare_config().s2d_gram == "nd"
     assert cfg.spmd_safe().s2d_gram == "nd"
     assert cfg.loop_config().s2d_gram == "pallas"
+    # "auto" survives construction: it resolves BY SIZE at trace time
+    # (optimize._s2d_gram_kernel) — nd at fused-routed sizes, kernel
+    # past the fused block bound (round-3 campaign #12)
+    cfg = dpst_tpu.StylizeConfig()
+    assert cfg.s2d_gram == "auto"
+    assert cfg.loop_config().s2d_gram == "auto"
+    assert cfg.prepare_config().s2d_gram == "nd"
     with pytest.raises(ValueError):
         dpst_tpu.StylizeConfig(s2d_gram="nope")
+
+
+def test_s2d_gram_auto_resolves_by_size(monkeypatch):
+    """auto → nd at fused-routed block-1 shapes (kernel off), → the
+    streamed Pallas kernel past the fused block bound on TPU (where
+    the nd consumption is impossible), never the kernel on CPU (it
+    would run interpreted)."""
+    from dpst_tpu.ops import losses
+
+    lcfg = dpst_tpu.StylizeConfig(**BASE).loop_config()
+    assert lcfg.s2d_gram == "auto"
+    monkeypatch.setattr(optimize.jax, "default_backend", lambda: "tpu")
+    assert not optimize._s2d_gram_kernel(lcfg, 256, 64, 2)  # fused-routed
+    monkeypatch.setattr(losses, "_FUSED_MAX_ELEMENTS", 1)
+    assert optimize._s2d_gram_kernel(lcfg, 256, 64, 2)      # past bound
+    monkeypatch.setattr(optimize.jax, "default_backend", lambda: "cpu")
+    assert not optimize._s2d_gram_kernel(lcfg, 256, 64, 2)
+
+
+def test_s2d_gate_lifts_past_fused_bound_with_kernel(monkeypatch):
+    """Past the fused-Gram block bound (2048²-class conv1_1) the s2d
+    gate normally closes (the nd consumption needs the fused dot); with
+    s2d_gram="pallas" it must stay OPEN — the streamed kernel builds
+    the weighted block band-by-band in VMEM, so no full-block bound
+    applies. Shrink the bound so the tall test pair crosses it, then
+    pin gate behavior and full value+grad parity vs the standard path."""
+    from dpst_tpu.ops import losses
+
+    content, style, masks = _tall_pair()
+    params = vgg.get_params(seed=0)
+    v0, g0 = _val_grad(params, content, style, masks)   # standard conv
+
+    monkeypatch.setattr(losses, "_FUSED_MAX_ELEMENTS", 1)
+    all_layers = tuple(dict.fromkeys(
+        dpst_tpu.StylizeConfig(**BASE).style_layers))
+    mask_shapes = {"conv1_1": (2, 256, 64)}
+    cfg_nd = dpst_tpu.StylizeConfig(**BASE, block1_impl="s2d",
+                                    s2d_gram="nd")
+    assert not optimize._block1_s2d_ok(
+        cfg_nd.loop_config(), content.shape, all_layers, ("conv1_1",),
+        mask_shapes)
+    cfg_pl = dpst_tpu.StylizeConfig(**BASE, block1_impl="s2d",
+                                    s2d_gram="pallas")
+    assert optimize._block1_s2d_ok(
+        cfg_pl.loop_config(), content.shape, all_layers, ("conv1_1",),
+        mask_shapes)
+
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(masks),
+        jnp.asarray(masks), cfg_pl, params)
+    lcfg = cfg_pl.loop_config()
+    consts = optimize._with_s2d_masks(lcfg, consts, content.shape)
+    assert consts.s2d_gram_consts is not None
+    loss_fn = optimize.make_loss_fn(lcfg)
+    w = optimize.LossWeights.from_config(cfg_pl)
+    (v1, _), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        jnp.asarray(content) + 3.0, consts, w, params)
+    np.testing.assert_allclose(np.asarray(v1), v0, rtol=1e-5)
+    scale = np.max(np.abs(g0))
+    np.testing.assert_allclose(np.asarray(g1) / scale, g0 / scale,
+                               atol=1e-5)
+
+
+def test_s2d_consts_skip_under_stream12(monkeypatch):
+    """When the stream12 path owns blocks 1-2 (≥3072² auto, or explicit
+    cfg.stream12), _with_s2d_masks must NOT pack s2d mask grids / kernel
+    consts — the streamed loss never reads them (they would be dead
+    HBM weight at 4096²)."""
+    from dpst_tpu.ops import losses
+
+    content, style, masks = _tall_pair()
+    params = vgg.get_params(seed=0)
+    monkeypatch.setattr(losses, "_FUSED_MAX_ELEMENTS", 1)
+    monkeypatch.setattr(optimize.jax, "default_backend", lambda: "tpu")
+    cfg = dpst_tpu.StylizeConfig(**BASE, stream12=4)
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(masks),
+        jnp.asarray(masks), cfg, params)
+    out = optimize._with_s2d_masks(cfg.loop_config(), consts,
+                                   content.shape)
+    assert out.s2d_mask_parts is None
+    assert out.s2d_gram_consts is None
+    # same shape WITHOUT stream12: the (monkeypatched-past-the-bound)
+    # auto s2d_gram packs the kernel consts (block1_impl explicit —
+    # its own auto needs ≥2^18 px, more than the test pair has)
+    cfg2 = dpst_tpu.StylizeConfig(**BASE, block1_impl="s2d")
+    out2 = optimize._with_s2d_masks(cfg2.loop_config(), consts,
+                                    content.shape)
+    assert out2.s2d_gram_consts is not None

@@ -46,9 +46,13 @@ def build_text() -> str:
         jnp.asarray(cmask.copy()), cfg, vgg_params)
     image = optimize.init_image(cfg, jnp.asarray(content))
     opt_state = optimize.init_opt_state(opt, loop_cfg, image)
+    # match trace_report's n_steps so the compiled program (and its
+    # fusion numbering) is the SAME executable the trace measured —
+    # and a compilation-cache hit instead of a fresh remote compile.
+    n_steps = int(os.environ.get("DPST_TRACE_STEPS", "100"))
     lowered = optimize.run_segment.lower(
         image, opt_state, consts, weights, vgg_params,
-        n_steps=100, cfg=loop_cfg)
+        n_steps=n_steps, cfg=loop_cfg)
     return lowered.compile().as_text()
 
 
