@@ -346,12 +346,13 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                             norm=gram_norm)
                         del feats[l]
                     else:
-                        k_l, hl, wl = consts.masks[l].shape
-                        c_l = tap.data.shape[-1]
                         if (l in style_lw
                                 and l not in cfg.content_layers
+                                and l in consts.masks
                                 and losses.gram_route(
-                                    hl, wl, k_l, c_l,
+                                    *consts.masks[l].shape[1:],
+                                    consts.masks[l].shape[0],
+                                    tap.data.shape[-1],
                                     cfg.gram_impl) == "stream"):
                             # stream-routed strip tap (2048²+ conv1_1):
                             # feed the kernel the FULL strip tensor
