@@ -345,11 +345,12 @@ class StylizeConfig:
         if self.s2d_gram not in ("auto", "nd", "pallas"):
             raise ValueError(f"unknown s2d_gram {self.s2d_gram!r}")
         # "auto" stays "auto": it resolves BY SIZE at trace time
-        # (optimize._s2d_gram_kernel) — nd at fused-routed sizes (the
-        # kernel measured-negative in context at ≤1024², campaign
-        # #10), the streamed Pallas kernel past the fused block bound
-        # (2048²+, where nd is impossible and the kernel beats the
-        # standard-conv fallback 8.92 vs 8.58 it/s — round 3 #12).
+        # (optimize._s2d_gram_kernel) — the streamed Pallas kernel at
+        # h·w ≥ 2^19 (768²+; campaign #13's memory-order feed flipped
+        # campaign #10's in-context loss: 1024² 44.5 vs 40.2 it/s) and
+        # past the fused block bound (2048²+, where the nd consumption
+        # is impossible: 10.0 vs 8.58 over the standard-conv
+        # fallback, #12/#13); the nd XLA path below (512² 190 vs 178).
         if self.history_terms not in ("auto", "full", "total"):
             raise ValueError(
                 f"unknown history_terms {self.history_terms!r}")

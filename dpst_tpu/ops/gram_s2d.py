@@ -1,23 +1,26 @@
 """Streamed masked-Gram Pallas kernel for the s2d block-1 tap.
 
-Round-3 campaign #10 — MEASURED-NEGATIVE in the full step at
-fused-routed sizes (≤1024²-class), where "auto" keeps the nd XLA path
-and the kernel stays an opt-in (s2d_gram="pallas"). PAST the fused
-block bound (2048²-class conv1_1) the nd consumption is impossible and
-"auto" resolves HERE instead (optimize._s2d_gram_kernel, campaign
-#12): keeping block 1 in s2d form through this kernel beats the
-standard-conv fallback 8.92 vs 8.58 it/s at 2048² — the fallback's
-3-channel transposed-conv input gradient alone was 17.7 ms/step (15%).
-The ≤1024² verdict stands: the
-kernel wins its standalone scan A/B at 1024² (8.56 vs 9.50 ms/step)
-but loses inside the full program (39.7 vs 40.3 it/s; device totals
-24.89 vs 24.52 ms/step) for two reasons the standalone harness could
-not see: (1) the 0/1 selection matmuls that regroup parities in-VMEM
-are ~530 GFLOP/step — as much MXU work as the Gram contraction itself
-at K=4, C=64; (2) the real tap is produced in the conv emitter's
-layout, so the "bitcast" flatten + band pad materialize (~2.5 ms/step
-of reshape/pad/slice), while the nd path's copies partially fuse with
-conv1_2's consumption of the same raw producer. Full autopsy in
+Round-3 campaigns #10/#12/#13. #10 built the kernel and measured it
+NEGATIVE in context at 1024² (39.7 vs 40.3 it/s) despite a standalone
+win — the autopsy blamed ~530 GFLOP of selection matmuls plus layout
+copies around the feed. #12 made it load-bearing anyway: past the
+fused block bound (2048²-class conv1_1) the nd consumption is
+impossible, and routing s2d through this kernel beats the
+standard-conv fallback (whose 3-channel transposed-conv input gradient
+alone was 17.7 ms/step, 15%). #13 then fixed the feed itself —
+memory-order bitcast flatten + divisor band heights (see
+pack_mask_consts/_pick_trw) — killing ~12 ms/step of copies at 2048²
+(8.92 → 10.02 it/s) and FLIPPING the #10 verdict at every measured
+shape above 512²-class (1024² K=4 44.5 vs 40.2, K=8 35.9 vs 34.3,
+768² 66.9 vs 65.7; 512² stays nd at 190 vs 178). "auto" resolves
+accordingly (optimize._s2d_gram_kernel: kernel at h·w ≥ 2^19 or any
+non-fused route). The #10 autopsy's surviving half: the 0/1 selection
+matmuls that regroup parities in-VMEM are ~530 GFLOP/step at K=4,
+C=64 — as much MXU work as the Gram contraction itself — which is why
+512² (where that fixed overhead is the largest fraction of the step)
+still prefers the nd path. The other half — "the flatten/pad
+materialize because the tap arrives in the conv emitter's layout" —
+was #13's target, not an inherent cost. Full history in
 ARCHITECTURE.md.
 
 The s2d block-1 lowering (vgg._block1_s2d,
@@ -83,18 +86,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_trw(p: int, k: int, c4: int) -> int:
-    """Largest sublane-multiple band height whose working set fits
-    VMEM (zp/m2t blocks + the f32 temps + the (TRW, 4KC) crep/mrep/fw
-    or t2 bands)."""
+    """Band height: prefer an EXACT divisor of P (then the XLA-side
+    pad-to-band-multiple and its backward slice never exist — at 2048²
+    they were 4.2 ms/step of full-tensor copies, campaign #13), else
+    the largest sublane-multiple whose working set fits VMEM (zp/m2t
+    blocks + the f32 temps + the (TRW, 4KC) crep/mrep/fw or t2
+    bands). 16-row steps keep bf16 (16, 128) tiling happy."""
     kc4 = k * c4
-    for trw in (4096, 2048, 1024, 512, 256, _LANE):
-        if trw > max(p, _LANE):
-            continue
+
+    def fits(trw: int) -> bool:
         work = (trw * c4 * (2 + 4 + 4)      # z, zf, cooked
                 + trw * _LANE * 2           # m2t block
                 + 3 * trw * kc4 * 4         # crep/mrep/fw (or t2) f32
                 + kc4 * c4 * 4)             # out / wall
-        if work <= _VMEM_BUDGET:
+        return work <= _VMEM_BUDGET
+
+    for trw in range(4096, 255, -16):
+        if p % trw == 0 and fits(trw):
+            return trw
+    for trw in (4096, 2048, 1024, 512, 256, _LANE):
+        if trw > max(p, _LANE):
+            continue
+        if fits(trw):
             return trw
     return _LANE
 
@@ -286,7 +299,15 @@ def pack_mask_consts(m_parts, nr: int, o0: int, compute_dtype,
     k, s, ro, co = m_parts[0].shape
     full = [jnp.pad(mp, ((0, 0), (0, 0), (o0, nr - o0 - ro), (0, 0)))
             for mp in m_parts]
-    flat = jnp.stack([mp.reshape(k, -1) for mp in full])   # (4, K, P)
+    # pixel order (nr, co, S) — the PRODUCER's memory order: the conv
+    # emitter lays the grid tensor out batch-second-minor
+    # ({3,0,2,1:T(8,128)}), so the tap-side transpose(1,2,0,3)+reshape
+    # is a layout BITCAST where the logical (S, nr, co) flatten was a
+    # 2.1 ms relayout copy + 3.0 ms materialized reshape at 2048²
+    # (campaign #13; the Gram is pixel-permutation-invariant, any
+    # consistent order is exact)
+    flat = jnp.stack([mp.transpose(0, 2, 3, 1).reshape(k, -1)
+                      for mp in full])                     # (4, K, P)
     p = flat.shape[2]
     trw = _pick_trw(p, k, 4 * 64)
     ppad = _round_up(p, trw)
@@ -317,7 +338,10 @@ def masked_grams_s2d_tap(tap, m2t: jnp.ndarray, rep: jnp.ndarray,
     c = c4 // 4
     k = nvec.shape[0]
     p = s * nr * nc
-    zp = d.reshape(p, c4)
+    # memory-order flatten (see pack_mask_consts): a bitcast of the
+    # emitter's batch-second-minor layout; m2t rows are packed in the
+    # same (nr, nc, S) pixel order
+    zp = d.transpose(1, 2, 0, 3).reshape(p, c4)
     ppad = m2t.shape[0]
     if ppad != p:
         zp = jnp.pad(zp, ((0, ppad - p), (0, 0)))

@@ -133,20 +133,24 @@ def _s2d_gram_kernel(cfg: StylizeConfig, h: int, w: int,
                      k: int | None = None) -> bool:
     """Should active s2d block-1 taps feed the streamed Pallas Gram
     (ops/gram_s2d.py) instead of the nd XLA path? "auto" resolves BY
-    SIZE: at fused-routed block-1 shapes (≤1024²-class) the nd path —
-    the kernel won its standalone scan A/B at 1024² (8.56 vs 9.50
-    ms/step) but LOSES inside the full step (39.7 vs 40.3 it/s; the 0/1
-    selection matmuls are ~530 GFLOP/step plus ~2.5 ms of layout
-    copies, while the nd path's copies partially fuse with conv1_2 —
-    campaign #10's autopsy in ARCHITECTURE.md). PAST the fused block
-    bound (2048²-class conv1_1) nd is impossible and the kernel keeps
-    the s2d form alive: full-step 8.92 vs 8.58 it/s over the
-    standard-conv fallback, whose 3-channel transposed-conv dx was 15%
-    of the step (round-3 campaign #12)."""
+    SIZE. Campaign #10 first measured the kernel LOSING in context at
+    1024² (39.7 vs 40.3 it/s) despite winning standalone — but that
+    loss was the FEED's: the logical-order flatten+pad around the
+    kernel materialized ~5 ms/step of relayout copies. Campaign #13
+    (memory-order bitcast feed + divisor band heights) removed them,
+    flipping every measured shape above 512²-class:
+      1024² K=4: 44.5 vs 40.2   1024² K=8: 35.9 vs 34.3
+      768²  K=4: 66.9 vs 65.7   512²  K=4: 178 vs 190 (nd keeps it)
+    and PAST the fused block bound (2048²-class) nd is impossible —
+    the kernel keeps the s2d form alive at all (campaign #12, 10.0 vs
+    8.58 over the standard-conv fallback). So: kernel at h·w ≥ 2^19
+    (768²+) or any non-fused route; nd below."""
     if cfg.s2d_gram == "pallas":
         return True
     if (cfg.s2d_gram == "auto" and k is not None
             and jax.default_backend() == "tpu"):
+        if h * w >= 2 ** 19:
+            return True
         c = vgg.VGG19_BLOCKS[0][1]
         return losses.gram_route(h, w, k, c, cfg.gram_impl) != "fused"
     return False

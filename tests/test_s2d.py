@@ -389,11 +389,16 @@ def test_s2d_gram_auto_resolves_by_size(monkeypatch):
     lcfg = dpst_tpu.StylizeConfig(**BASE).loop_config()
     assert lcfg.s2d_gram == "auto"
     monkeypatch.setattr(optimize.jax, "default_backend", lambda: "tpu")
-    assert not optimize._s2d_gram_kernel(lcfg, 256, 64, 2)  # fused-routed
+    assert not optimize._s2d_gram_kernel(lcfg, 256, 64, 2)  # small+fused
+    # measured crossover: kernel at h·w >= 2^19 (768²+), nd at 512²
+    assert not optimize._s2d_gram_kernel(lcfg, 512, 512, 4)
+    assert optimize._s2d_gram_kernel(lcfg, 768, 768, 4)
+    assert optimize._s2d_gram_kernel(lcfg, 1024, 1024, 8)
     monkeypatch.setattr(losses, "_FUSED_MAX_ELEMENTS", 1)
     assert optimize._s2d_gram_kernel(lcfg, 256, 64, 2)      # past bound
     monkeypatch.setattr(optimize.jax, "default_backend", lambda: "cpu")
     assert not optimize._s2d_gram_kernel(lcfg, 256, 64, 2)
+    assert not optimize._s2d_gram_kernel(lcfg, 1024, 1024, 4)
 
 
 def test_s2d_gate_lifts_past_fused_bound_with_kernel(monkeypatch):
