@@ -112,38 +112,46 @@ def _pick_trw(p: int, k: int, c4: int) -> int:
     return _LANE
 
 
-def _rep_consts(k: int, c: int, dtype) -> tuple:
-    """The two loop-invariant 0/1 lane-regrouping matrices (built once
-    per run — see module docstring):
-      REP (4C, 4KC): REP[q, par·KC + j·C + c1] = 1 iff q = par·C + c1
-      E   (128, 4KC): E[q, par·KC + j·C + c1] = 1 iff q = par·K + j
-    """
-    c4, kc = 4 * c, k * c
-    col = jnp.arange(4 * k * c)
-    par, j, c1 = col // kc, (col % kc) // c, col % c
-    q4 = jnp.arange(c4)[:, None]
-    rep = (q4 == (par * c + c1)[None, :]).astype(dtype)
+def _e2_const(k: int, c: int, dtype) -> jnp.ndarray:
+    """The loop-invariant 0/1 mask-expansion matrix (built once per
+    run): E2 (128, K·4C) with E2[q, j·4C + par·C + c1] = 1 iff
+    q = par·K + j — one dot expands m2t's (parity, class) lane stack
+    to per-class full-width (4C) m² rows (constant over the C channels
+    of each parity group)."""
+    c4 = 4 * c
+    col = jnp.arange(k * c4)
+    j, par = col // c4, (col % c4) // c
     qe = jnp.arange(_LANE)[:, None]
-    e = (qe == (par * k + j)[None, :]).astype(dtype)
-    return rep, e
+    return (qe == (par * k + j)[None, :]).astype(dtype)
 
 
-def _fwd_kernel(zp_ref, m2t_ref, bias_ref, rep_ref, e_ref, out_ref,
+def _fwd_kernel(zp_ref, m2t_ref, bias_ref, e2_ref, out_ref,
                 *, k: int, c: int):
+    # Campaign #14 diag-block form: per class, ONE full-width
+    # contraction G256_j = cookedᵀ(cooked ∘ m256_j) — (4C, 4C) whose
+    # four diagonal (C, C) parity blocks are the masked Gram (the
+    # caller sums them; off-diagonal cross-parity blocks are garbage it
+    # never reads). Replaces the #10 REP/E selection-matmul regrouping:
+    # 2·P·4C·K·4C vs 2·P·4C·4KC·2 + 2·P·128·4KC FLOPs — 40% less MXU
+    # work at K=4 despite computing 4× the needed output, because no
+    # lane regrouping is ever materialized (rule 9: full-tile ops only).
     i = pl.program_id(0)
     cdt = zp_ref.dtype
+    c4 = 4 * c
     # cook in f32 (no bf16 compares on TPU), round back to the compute
     # dtype at the same point the XLA nd path rounds its weighted block
     zf = zp_ref[...].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
     cooked = jnp.maximum(zf, 0.0).astype(cdt)                # (TRW, 4C)
-    crep = jnp.dot(cooked, rep_ref[...],
-                   preferred_element_type=jnp.float32)       # (TRW, 4KC)
-    mrep = jnp.dot(m2t_ref[...], e_ref[...],
-                   preferred_element_type=jnp.float32)       # (TRW, 4KC)
-    fw = (crep * mrep).astype(cdt)
-    part = jax.lax.dot_general(
-        fw, cooked, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (4KC, 4C)
+    m256 = jnp.dot(m2t_ref[...], e2_ref[...],
+                   preferred_element_type=jnp.float32)       # (TRW, K·4C)
+    cf = cooked.astype(jnp.float32)
+    parts = []
+    for j in range(k):
+        wj = (cf * m256[:, j * c4:(j + 1) * c4]).astype(cdt)
+        parts.append(jax.lax.dot_general(
+            cooked, wj, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))             # (4C, 4C)
+    part = jnp.concatenate(parts, axis=0)                    # (K·4C, 4C)
 
     @pl.when(i == 0)
     def _init():
@@ -154,23 +162,24 @@ def _fwd_kernel(zp_ref, m2t_ref, bias_ref, rep_ref, e_ref, out_ref,
         out_ref[...] += part
 
 
-def _bwd_kernel(zp_ref, m2t_ref, bias_ref, wall_ref, df_ref,
+def _bwd_kernel(zp_ref, m2t_ref, bias_ref, wall_ref, e2_ref, df_ref,
                 *, k: int, c: int):
+    # dF = relu'(zf) ∘ Σ_j (cooked · s_j) ∘ m256_j with s_j the
+    # symmetrized block-diagonal dG256_j (wall = [s_0 | … | s_{K-1}]).
+    # The two product-rule terms collapse into one: s_j is parity-block
+    # -diagonal and m256_j is constant per parity lane group, so
+    # ((C∘M)·s)  =  (C·s)∘M exactly.
     zf = zp_ref[...].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
     cb = jnp.maximum(zf, 0.0).astype(zp_ref.dtype)
-    t2 = jnp.dot(cb, wall_ref[...],
-                 preferred_element_type=jnp.float32)     # (TRW, 4KC)
-    m2t = m2t_ref[...]                                   # (TRW, 128)
+    t = jnp.dot(cb, wall_ref[...],
+                preferred_element_type=jnp.float32)      # (TRW, K·4C)
+    m256 = jnp.dot(m2t_ref[...], e2_ref[...],
+                   preferred_element_type=jnp.float32)   # (TRW, K·4C)
+    prod = t * m256
     c4 = 4 * c
-    # lane-index helpers for the 0/1 replication matmuls (rule 9: lane
-    # regrouping as selection matmuls, never sub-vreg slices)
-    row = jax.lax.broadcasted_iota(jnp.int32, (_LANE, c4), 0)
-    par = jax.lax.broadcasted_iota(jnp.int32, (_LANE, c4), 1) // c
-    acc = jnp.zeros(zf.shape, jnp.float32)
-    for j in range(k):
-        ej = (row == par * k + j).astype(m2t.dtype)      # (128, 4C)
-        rep = jnp.dot(m2t, ej, preferred_element_type=jnp.float32)
-        acc += t2[:, j * c4:(j + 1) * c4] * rep          # full-tile slice
+    acc = prod[:, :c4]
+    for j in range(1, k):
+        acc = acc + prod[:, j * c4:(j + 1) * c4]         # full-tile slice
     # _relu (jnp.maximum) tie-split subgradient: 1 / 0.5 / 0 at >0/=0/<0
     dprime = jnp.where(zf > 0.0, 1.0, jnp.where(zf == 0.0, 0.5, 0.0))
     df_ref[...] = (acc * dprime).astype(df_ref.dtype)
@@ -180,27 +189,26 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _gram_s2d_raw(zp: jnp.ndarray, bias: jnp.ndarray, m2t: jnp.ndarray,
-                  rep: jnp.ndarray, e: jnp.ndarray,
-                  k: int, c: int) -> jnp.ndarray:
-    """Unnormalized per-parity masked Grams of the RAW full-grid s2d
-    tap: (Ppad, 4C) rows (bias NOT added, halo/garbage/pad rows
-    allowed — their mask weight must be zero) -> (4, K, C, 4C) f32
-    (column block `par` of parity row-group `par` holds that parity's
-    Gram contribution; the rest is cross-parity garbage the caller
-    discards). m2t is the (Ppad, 128) per-(parity·K+j) m² column stack
-    (lanes 4K.. zero); rep/e are _rep_consts. Gradient flows to zp
-    only."""
-    out, _ = _gram_s2d_fwd(zp, bias, m2t, rep, e, k, c)
+                  e2: jnp.ndarray, k: int, c: int) -> jnp.ndarray:
+    """Unnormalized per-class full-width masked Grams of the RAW
+    full-grid s2d tap: (Ppad, 4C) rows (bias NOT added, halo/garbage/
+    pad rows allowed — their mask weight must be zero) -> (K, 4C, 4C)
+    f32 whose four diagonal (C, C) parity blocks hold the per-parity
+    Gram contributions (off-diagonal cross-parity blocks are garbage
+    the caller discards). m2t is the (Ppad, 128) per-(parity·K+j) m²
+    column stack (lanes 4K.. zero); e2 is _e2_const. Gradient flows to
+    zp only."""
+    out, _ = _gram_s2d_fwd(zp, bias, m2t, e2, k, c)
     return out
 
 
-def _gram_s2d_fwd(zp, bias, m2t, rep, e, k, c):
+def _gram_s2d_fwd(zp, bias, m2t, e2, k, c):
     p, c4 = zp.shape
     trw = _pick_trw(p, k, c4)
     assert p % trw == 0, (p, trw)
-    kc4 = 4 * k * c
+    kc4 = k * c4
     out = pl.pallas_call(
         partial(_fwd_kernel, k=k, c=c),
         grid=(p // trw,),
@@ -211,8 +219,6 @@ def _gram_s2d_fwd(zp, bias, m2t, rep, e, k, c):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, c4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c4, kc4), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((_LANE, kc4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -222,30 +228,30 @@ def _gram_s2d_fwd(zp, bias, m2t, rep, e, k, c):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(_VMEM_BUDGET * 1.8)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * p * kc4 * (2 * c4 + _LANE), transcendentals=0,
+            flops=2 * p * kc4 * c4 + 2 * p * _LANE * kc4,
+            transcendentals=0,
             bytes_accessed=(p * c4 + p * _LANE) * zp.dtype.itemsize),
         interpret=_interpret(),
-    )(zp, m2t, bias, rep, e)
-    return out.reshape(4, k, c, c4), (zp, bias, m2t)
+    )(zp, m2t, bias, e2)
+    return out.reshape(k, c4, c4), (zp, bias, m2t, e2)
 
 
 def _gram_s2d_bwd(k, c, res, dg):
-    zp, bias, m2t = res
+    zp, bias, m2t, e2 = res
     p, c4 = zp.shape
     cdt = zp.dtype
     trw = _pick_trw(p, k, c4)
-    # dG arrives (4, K, C, 4C); only the diagonal parity column-blocks
-    # are real (the caller built G from them) — mask to them before
-    # symmetrizing so the forward's cross-parity garbage blocks can
-    # never leak a cotangent.
+    # dG arrives (K, 4C, 4C); only the diagonal parity blocks are real
+    # (the caller built G from them) — mask to them before symmetrizing
+    # so the forward's cross-parity garbage blocks can never leak a
+    # cotangent.
     dg = dg.astype(jnp.float32)
-    dgk = jnp.stack([jax.lax.slice_in_dim(dg[par], par * c,
-                                          (par + 1) * c, axis=2)
-                     for par in range(4)])                # (4, K, C, C)
-    s = dgk + jnp.swapaxes(dgk, 2, 3)                     # (4, K, C, C)
-    # wall[par·C + c1, j·4C + par·C + c2] = s[par, j, c1, c2]; its 0/1
-    # block structure folds the parity extraction into the t2 matmul.
-    w5 = jnp.einsum("pjab,pq->pajqb", s, jnp.eye(4, dtype=jnp.float32))
+    dgk = jnp.stack([dg[:, par * c:(par + 1) * c, par * c:(par + 1) * c]
+                     for par in range(4)], axis=1)        # (K, 4, C, C)
+    s = dgk + jnp.swapaxes(dgk, 2, 3)                     # (K, 4, C, C)
+    # wall = [s_0 | … | s_{K-1}] (4C, K·4C), each s_j parity-block-
+    # diagonal: wall[par·C + c1, j·4C + par·C + c2] = s[j, par, c1, c2].
+    w5 = jnp.einsum("jpab,pq->pajqb", s, jnp.eye(4, dtype=jnp.float32))
     wall = w5.reshape(c4, k * c4)
     df = pl.pallas_call(
         partial(_bwd_kernel, k=k, c=c),
@@ -259,6 +265,8 @@ def _gram_s2d_bwd(k, c, res, dg):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c4, k * c4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANE, k * c4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((trw, c4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -270,12 +278,11 @@ def _gram_s2d_bwd(k, c, res, dg):
             transcendentals=0,
             bytes_accessed=(2 * p * c4 + p * _LANE) * zp.dtype.itemsize),
         interpret=_interpret(),
-    )(zp, m2t, bias, wall.astype(cdt))
-    # bias/m2t/rep/e cotangents are never requested (constants in the
+    )(zp, m2t, bias, wall.astype(cdt), e2)
+    # bias/m2t/e2 cotangents are never requested (constants in the
     # loss graph) — the zeros are DCE'd by XLA.
     return (df, jnp.zeros_like(bias), jnp.zeros_like(m2t),
-            jnp.zeros((c4, 4 * k * c), cdt), jnp.zeros((_LANE, 4 * k * c),
-                                                       cdt))
+            jnp.zeros_like(e2))
 
 
 _gram_s2d_raw.defvjp(_gram_s2d_fwd, _gram_s2d_bwd)
@@ -289,8 +296,8 @@ def pack_mask_consts(m_parts, nr: int, o0: int, compute_dtype,
 
       m2t  (Ppad, 128)   m² of the FULL grid (halo rows / row padding
                          zero), lane par·K + j; P = S·nr·co
-      rep  (4C?, 4KC)    \\ the 0/1 lane-regrouping constants
-      e    (128, 4KC)    / (_rep_consts) in the compute dtype
+      e2   (128, K·4C)   the 0/1 mask-expansion constant (_e2_const)
+                         in the compute dtype
       nvec (K,) f32      the union normalizer (Σm² / Σm per norm)
 
     Built OUTSIDE the optimization scan (StylizeConstants — XLA's
@@ -317,21 +324,21 @@ def pack_mask_consts(m_parts, nr: int, o0: int, compute_dtype,
     m32 = flat.astype(jnp.float32)
     nvec = (jnp.sum(m32 * m32, axis=(0, 2)) if norm == "m2"
             else jnp.sum(m32, axis=(0, 2)))
-    rep, e = _rep_consts(k, 64, cdt)
-    return m2t, rep, e, nvec
+    return m2t, _e2_const(k, 64, cdt), nvec
 
 
-def masked_grams_s2d_tap(tap, m2t: jnp.ndarray, rep: jnp.ndarray,
-                         e: jnp.ndarray, nvec: jnp.ndarray,
+def masked_grams_s2d_tap(tap, m2t: jnp.ndarray, e2: jnp.ndarray,
+                         nvec: jnp.ndarray,
                          eps: float = 1e-8) -> jnp.ndarray:
     """All K masked Grams of an s2d block-1 tap via the Pallas kernel:
     S2dTap (raw, with bias) × packed mask constants -> (K, C, C),
     normalized like losses.masked_grams_nd_multi over the parity union.
 
-    The XLA-side work is ONE fused flatten(bitcast)+pad producer and
-    the (4, K, C, C) diagonal-block extraction of the kernel output —
-    no interior slice, no bias materialization, no transposed operand
-    (each measured as a full-tensor relayout in the first draft)."""
+    The XLA-side work is ONE flatten (a bitcast of the producer's own
+    layout, campaign #13) and the (K, C, C) diagonal-block extraction
+    of the kernel's (K, 4C, 4C) output — no interior slice, no bias
+    materialization, no transposed operand, no relayout copies, and
+    (at divisor band heights) no pad."""
     d = tap.data
     assert tap.bias is not None, "kernel path consumes RAW s2d taps"
     s, nr, nc, c4 = d.shape
@@ -346,8 +353,7 @@ def masked_grams_s2d_tap(tap, m2t: jnp.ndarray, rep: jnp.ndarray,
     if ppad != p:
         zp = jnp.pad(zp, ((0, ppad - p), (0, 0)))
     bias8 = jnp.broadcast_to(tap.bias.reshape(1, c4), (8, c4))
-    g4 = _gram_s2d_raw(zp, bias8, m2t, rep, e, k, c)     # (4, K, C, 4C)
-    g = sum(jax.lax.slice_in_dim(g4[par], par * c, (par + 1) * c,
-                                 axis=2)
+    g256 = _gram_s2d_raw(zp, bias8, m2t, e2, k, c)       # (K, 4C, 4C)
+    g = sum(g256[:, par * c:(par + 1) * c, par * c:(par + 1) * c]
             for par in range(4))                         # (K, C, C)
     return g / jnp.maximum(nvec, eps)[:, None, None]

@@ -313,9 +313,9 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                             # path's weighted-block relayouts and
                             # interior slice never exist).
                             from .ops import gram_s2d
-                            m2t, rep, e, nvec = kc
+                            m2t, e2, nvec = kc
                             g_out[l] = gram_s2d.masked_grams_s2d_tap(
-                                tap, m2t, rep, e, nvec)
+                                tap, m2t, e2, nvec)
                             del feats[l]
                             continue
                         mp = getattr(consts, "s2d_mask_parts", None)
