@@ -11,6 +11,8 @@ Emits ONE JSON line PER CONFIG (VERDICT r1 #6), headline last:
   config6  4096² full deep-photo via block-1/2 activation STREAMING
            (vgg.stream_block12_grams) — the resolution that exceeds one
            chip on any batch-form path (VERDICT r2 #1)
+  config7  2048² full deep-photo, standard (un-streamed) path — the
+           round-3 high-res campaign series datum
   config3  512² FULL deep-photo (content + masked style + Laplacian) —
            the tracked headline metric, printed LAST so drivers that
            parse the final line keep the round-over-round series.
@@ -257,6 +259,28 @@ def main():
         print(json.dumps({"metric": "config6 4096x4096 streamed",
                           "value": 0.0, "unit": "iters/sec",
                           "vs_baseline": 0.0, "config": "config6",
+                          "error": str(e)[:300]}), flush=True)
+
+    # --- config 7: 2048² full deep-photo (single chip, standard path) -----
+    # the round-3 high-res campaign series (#11a/#11b/#12/#13/#14:
+    # 6.92 -> 10.4 it/s) lands here — the largest resolution the
+    # UN-streamed path runs at, exercising s2b strips + s2d block 1 +
+    # the streamed s2d-Gram Pallas kernel (auto at h·w >= 2^19).
+    try:
+        cfg7 = dpst_tpu.StylizeConfig(
+            use_segmentation=True, use_photorealism=True, max_classes=4,
+            iterations=500, compute_dtype="bfloat16")
+        ips, t_pre, _ = _loop_rate(cfg7, 2048, 2048, timed=40)
+        _emit("config7",
+              "iters/sec @ 2048x2048 full deep-photo (1 chip)",
+              ips, "iters/sec", 500.0 / ips + t_pre,
+              precompute_s=t_pre, backend=backend,
+              note="s2b strips + s2d block 1 + streamed s2d-Gram "
+                   "kernel (gram_s2d, auto)")
+    except Exception as e:  # never lose the headline line to config7
+        print(json.dumps({"metric": "config7 2048x2048 full",
+                          "value": 0.0, "unit": "iters/sec",
+                          "vs_baseline": 0.0, "config": "config7",
                           "error": str(e)[:300]}), flush=True)
 
     # --- config 3 (headline, LAST): 512² full deep-photo ------------------
