@@ -471,3 +471,21 @@ def test_s2d_consts_skip_under_stream12(monkeypatch):
     out2 = optimize._with_s2d_masks(cfg2.loop_config(), consts,
                                     content.shape)
     assert out2.s2d_gram_consts is not None
+
+
+def test_pick_trw_prefers_exact_divisors():
+    """Campaign #13: the band height prefers an exact divisor of P (the
+    XLA-side pad-to-band-multiple and its backward slice then never
+    exist). 2048²'s production P picks one; a prime-ish P falls back to
+    the padded power-of-two ladder."""
+    from dpst_tpu.ops import gram_s2d
+
+    p2048 = 32 * 41 * 1025            # the 2048² production grid size
+    trw = gram_s2d._pick_trw(p2048, 4, 256)
+    assert p2048 % trw == 0 and trw % 16 == 0 and trw >= 256
+    p1024 = 16 * 41 * 513
+    trw = gram_s2d._pick_trw(p1024, 4, 256)
+    assert p1024 % trw == 0
+    # prime P has no in-range divisor: the fallback ladder pads
+    trw = gram_s2d._pick_trw(1048583, 4, 256)  # prime > 2^20
+    assert 1048583 % trw != 0 and trw in (4096, 2048, 1024, 512, 256, 128)
