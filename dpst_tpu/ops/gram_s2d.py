@@ -44,23 +44,27 @@ that movement:
     its cotangent are exact without any interior slice);
   * bias + ReLU happen in-kernel (the raw tap is the only operand);
   * no transposed operand: the forward contracts over the SUBLANE dim
-    (dot_general ((0,), (0,))), with the mask-weighted block built in
-    VMEM band by band from 0/1 SELECTION MATMULS (CLAUDE.md rule 9 —
-    64-lane parity regrouping as matmuls, never sub-vreg lane ops):
+    (dot_general ((0,), (0,))), per class one full-width DIAG-BLOCK
+    contraction (campaign #14 — no lane regrouping, full-tile ops only
+    per CLAUDE.md rule 9):
 
       cooked = max(z + b, 0)                        (TRW, 4C)
-      crep   = cooked · REP                         (TRW, 4KC)
-      mrep   = m2t · E                              (TRW, 4KC)
-      out   += (crep ∘ mrep)ᵀ · cooked   [dim-0]    (4KC, 4C)
+      m256   = m2t · E2                             (TRW, K·4C)
+      out_j += cookedᵀ · (cooked ∘ m256_j) [dim-0]  (4C, 4C) per class
 
-  backward (dG_k symmetrized into S_k, folded into `wall`):
-      t2  = cooked · wall                           (TRW, 4KC)
-      acc = Σ_j t2[:, j-block] ∘ (m2t · E_j)        (TRW, 4C)
+    whose four diagonal (C, C) parity blocks the caller sums into the
+    masked Gram (the cross-parity blocks are garbage it never reads);
+
+  backward (dG_j masked to the diag blocks + symmetrized into s_j,
+  stacked into `wall` = [s_0 | … | s_{K-1}], each parity-block-diag):
+      t   = cooked · wall                           (TRW, K·4C)
+      acc = Σ_j (t ∘ m256)[:, j-block]              (TRW, 4C)
       df  = acc ∘ relu'(z + b)                      exact = _relu's VJP
+    (the two product-rule terms coincide: ((C∘M)·s) = (C·s)∘M exactly
+    when s is parity-block-diagonal and M parity-constant).
 
-REP[q, par·KC + j·C + c] = 1 iff q = par·C + c (parity-tile
-replication) and E[q, par·KC + j·C + c] = 1 iff q = par·K + j (mask
-lane spread) are loop-invariant 0/1 constants packed once per run
+E2[q, j·4C + par·C + c] = 1 iff q = par·K + j (the mask lane spread)
+is the one loop-invariant 0/1 constant, packed once per run
 (pack_mask_consts → StylizeConstants; XLA's while-LICM refuses to
 hoist buffers this size when built in-loop).
 
@@ -90,14 +94,14 @@ def _pick_trw(p: int, k: int, c4: int) -> int:
     pad-to-band-multiple and its backward slice never exist — at 2048²
     they were 4.2 ms/step of full-tensor copies, campaign #13), else
     the largest sublane-multiple whose working set fits VMEM (zp/m2t
-    blocks + the f32 temps + the (TRW, 4KC) crep/mrep/fw or t2
-    bands). 16-row steps keep bf16 (16, 128) tiling happy."""
+    blocks + the f32 temps + the (TRW, K·4C) m256 and t bands).
+    16-row steps keep bf16 (16, 128) tiling happy."""
     kc4 = k * c4
 
     def fits(trw: int) -> bool:
         work = (trw * c4 * (2 + 4 + 4)      # z, zf, cooked
                 + trw * _LANE * 2           # m2t block
-                + 3 * trw * kc4 * 4         # crep/mrep/fw (or t2) f32
+                + 3 * trw * kc4 * 4         # m256 + t/prod f32
                 + kc4 * c4 * 4)             # out / wall
         return work <= _VMEM_BUDGET
 
