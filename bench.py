@@ -13,6 +13,8 @@ Emits ONE JSON line PER CONFIG (VERDICT r1 #6), headline last:
            chip on any batch-form path (VERDICT r2 #1)
   config7  2048² full deep-photo, standard (un-streamed) path — the
            round-3 high-res campaign series datum
+  config8  1024² full deep-photo, single scale (config4's resolution
+           without the multi-scale schedule)
   config3  512² FULL deep-photo (content + masked style + Laplacian) —
            the tracked headline metric, printed LAST so drivers that
            parse the final line keep the round-over-round series.
@@ -281,6 +283,27 @@ def main():
         print(json.dumps({"metric": "config7 2048x2048 full",
                           "value": 0.0, "unit": "iters/sec",
                           "vs_baseline": 0.0, "config": "config7",
+                          "error": str(e)[:300]}), flush=True)
+
+    # --- config 8: 1024² full deep-photo, single scale (1 chip) -----------
+    # config4 covers 1024² via the multi-scale schedule; this is the
+    # single-scale step rate the round-3 kernel campaigns moved
+    # (40.2 -> 46.35 it/s, #13/#14).
+    try:
+        cfg8 = dpst_tpu.StylizeConfig(
+            use_segmentation=True, use_photorealism=True, max_classes=4,
+            iterations=500, compute_dtype="bfloat16")
+        ips, t_pre, _ = _loop_rate(cfg8, 1024, 1024, timed=100)
+        _emit("config8",
+              "iters/sec @ 1024x1024 full deep-photo (1 chip)",
+              ips, "iters/sec", 500.0 / ips + t_pre,
+              precompute_s=t_pre, backend=backend,
+              note="single scale; s2d block 1 + streamed s2d-Gram "
+                   "kernel (auto at h*w >= 2^19)")
+    except Exception as e:  # never lose the headline line to config8
+        print(json.dumps({"metric": "config8 1024x1024 full",
+                          "value": 0.0, "unit": "iters/sec",
+                          "vs_baseline": 0.0, "config": "config8",
                           "error": str(e)[:300]}), flush=True)
 
     # --- config 3 (headline, LAST): 512² full deep-photo ------------------
