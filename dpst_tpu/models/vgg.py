@@ -1414,13 +1414,15 @@ _B12_ORDER = ("conv1_1", "conv1_2", "pool1", "conv2_1", "conv2_2", "pool2")
 
 
 @partial(jax.jit, static_argnames=("strips", "gram_layers", "pooling",
-                                   "compute_dtype", "pool_impl"))
+                                   "compute_dtype", "pool_impl",
+                                   "block1_impl"))
 def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                          *, strips: int,
                          gram_layers: tuple[str, ...],
                          pooling: str = "max",
                          compute_dtype: str = "float32",
-                         pool_impl: str = "auto"):
+                         pool_impl: str = "auto",
+                         block1_impl: str = "conv"):
     """Blocks 1-2 as a strip-streamed `lax.scan` — activations never
     materialize at full resolution.
 
@@ -1443,12 +1445,25 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
     masks: {layer: (K, h_l, w_l)} content masks for `gram_layers`.
     Returns ({layer: (K, C, C) fp32 UNNORMALIZED Gram sums — divide by
     Σm² (or Σm) of the full mask}, pool2 activation (1, H/4, W/4, 128)).
+
+    block1_impl="s2d" runs each strip's conv1_1→pool1 in space-to-depth
+    form (`_block1_s2d` — the campaign-#7/#9 lowering: stride-2 4×4
+    conv1_1, 2×2 conv1_2 between half-cell-shifted grids, pool1 a free
+    parity max), with the conv1_1 Gram accumulated from the four parity
+    lane-slices via the nd analytic-VJP Gram. Requires even strip rows
+    and width and no conv1_2 tap; Gram sums match the conv form to fp
+    summation order (tests/test_stream12.py).
     """
     cdt = jnp.dtype(compute_dtype)
     h, w = image.shape[:2]
     hs = h // strips
     halo0 = _S2B_HALO
     p_imp = "xla" if pool_impl == "pallas" else pool_impl
+    use_s2d = block1_impl == "s2d"
+    if use_s2d and (w % 2 or hs % 2 or "conv1_2" in gram_layers):
+        raise ValueError(
+            "stream12 block1_impl='s2d' needs even strip rows/width and "
+            "no conv1_2 tap")
 
     # preprocess BEFORE padding: the zero halo rows beyond the global
     # image must be zero in PREPROCESSED space (the batch s2b path pads
@@ -1464,6 +1479,14 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
         f = layer_downsample_factor(layer)
         m = jnp.asarray(masks[layer])            # (K, h/f, w/f)
         k = m.shape[0]
+        if use_s2d and layer == "conv1_1":
+            # four per-parity GRID masks in s2d_slices_par's slot order
+            # (halo / beyond-image / garbage slots zero) — built once
+            # outside the scan, sliced per strip: (S, 4, K, ro, co)
+            mp = s2d_masks_par(m, strips, halo0, off=-1)
+            mstacks[layer] = jnp.stack(
+                [p.transpose(1, 0, 2, 3) for p in mp], axis=1)
+            continue
         mstacks[layer] = m.reshape(
             k, strips, hs // f, w // f).transpose(1, 0, 2, 3)
 
@@ -1471,7 +1494,30 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
         x = xs_i.astype(cdt)[None]       # already preprocessed (above)
         halo, own = halo0, hs
         grams = {}
-        for name in _B12_ORDER:
+        order = _B12_ORDER
+        if use_s2d:
+            t1, x = _block1_s2d(
+                params, x,
+                ("conv1_1",) if "conv1_1" in gram_layers else (),
+                pooling=pooling, cdt=cdt, pool_impl=p_imp,
+                base=(idx * hs - halo0)[None], hi=h,
+                halo_px=halo0, own_px=hs)
+            halo, own = halo0 // 2, hs // 2
+            if "conv1_1" in gram_layers:
+                from ..ops.losses import _grams_raw_nd
+                sls = s2d_slices_par(t1["conv1_1"])  # 4× (1, ro, co, C)
+                mi = ms_i["conv1_1"]                 # (4, K, ro, co)
+                c_l = sls[0].shape[-1]
+                k1 = mi.shape[1]
+                g = None
+                for i in range(4):
+                    m2 = (mi[i] * mi[i]).astype(cdt)
+                    gi = _grams_raw_nd(sls[i][0].astype(cdt), m2)
+                    g = gi if g is None else g + gi
+                grams["conv1_1"] = g.reshape(
+                    c_l, k1, c_l).transpose(1, 0, 2)
+            order = _B12_ORDER[3:]                   # conv2_1 onward
+        for name in order:
             if name.startswith("pool"):
                 x = _pool(x, pooling, p_imp)
                 halo //= 2
@@ -1514,7 +1560,7 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
         g, p2 = ckpt_body(xs_i, ms_i, idx)
         return {l: carry[l] + g[l] for l in carry}, p2
 
-    k_by_layer = {l: mstacks[l].shape[1] for l in gram_layers}
+    k_by_layer = {l: jnp.shape(masks[l])[0] for l in gram_layers}
     carry0 = {l: jnp.zeros(
         (k_by_layer[l], CONV_SHAPES[l][1], CONV_SHAPES[l][1]),
         jnp.float32) for l in gram_layers}

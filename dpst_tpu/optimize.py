@@ -247,13 +247,24 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                 gsums = {"conv1_1": g1s, "conv2_1": g2s}
                 x_p2 = p2c.transpose(1, 2, 0)[None]
             else:
+                # block-1 s2d inside the strip scan (campaign #7/#9
+                # lowerings applied to the streamed path): per-strip
+                # blocks are small, so the nd Gram consumption has no
+                # fused-bound constraint — gate only on the resolver
+                # (TPU + >=2^18 px) and the s2d shape requirements
+                hs12 = h_img // strips
+                s2d12 = (vgg._resolve_block1(
+                             cfg.block1_impl, h_img, w_img)
+                         and w_img % 2 == 0 and hs12 % 2 == 0
+                         and "conv1_2" not in b12_layers)
                 gsums, x_p2 = vgg.stream_block12_grams(
                     vgg_params, image,
                     {l: consts.masks[l] for l in b12_layers},
                     strips=strips, gram_layers=b12_layers,
                     pooling=cfg.pooling,
                     compute_dtype=cfg.compute_dtype,
-                    pool_impl=cfg.pool_impl)
+                    pool_impl=cfg.pool_impl,
+                    block1_impl="s2d" if s2d12 else "conv")
             g_out = {}
             for l in b12_layers:
                 m = consts.masks[l].astype(jnp.float32)

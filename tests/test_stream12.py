@@ -52,6 +52,47 @@ def test_stream12_loss_and_grad_match_standard(setup):
         g0).max())
 
 
+def test_stream12_s2d_block1_matches_standard(setup):
+    """block1_impl="s2d" inside the strip scan (conv1_1 as the stride-2
+    4×4 K4 conv, pool1 a parity max, conv1_1's Gram from the four parity
+    lane-slices via the nd analytic VJP) is the same math in a different
+    lowering — value and gradient must match the standard path to fp
+    summation order."""
+    content, cfg, consts, weights, params = setup
+    t0, terms0, g0 = _value_grad(cfg, content, consts, weights, params)
+    cfg_s = dataclasses.replace(cfg, stream12=3, block1_impl="s2d")
+    t1, terms1, g1 = _value_grad(cfg_s, content, consts, weights, params)
+    np.testing.assert_allclose(t1, t0, rtol=1e-5)
+    # atol: a 0-valued term (content at init) may come back as ~1e-8 of
+    # fp32 dust from the s2d form's different summation order
+    np.testing.assert_allclose(terms1, terms0, rtol=1e-5,
+                               atol=1e-6 * abs(t0))
+    np.testing.assert_allclose(g1, g0, rtol=1e-3,
+                               atol=1e-5 * np.abs(g0).max())
+    # avg pooling rides the s2d parity-mean lowering
+    cfg_a = dataclasses.replace(cfg, pooling="avg")
+    consts_a = prepare_constants(
+        jnp.asarray(content), jnp.asarray(content[::-1].copy()),
+        jnp.asarray(np.asarray(consts.masks["conv1_1"])),
+        jnp.asarray(np.asarray(consts.masks["conv1_1"])), cfg_a, params)
+    ta, _, ga = _value_grad(cfg_a, content, consts_a, weights, params)
+    tk, _, gk = _value_grad(
+        dataclasses.replace(cfg_a, stream12=3, block1_impl="s2d"),
+        content, consts_a, weights, params)
+    np.testing.assert_allclose(tk, ta, rtol=1e-5)
+    np.testing.assert_allclose(gk, ga, rtol=1e-3,
+                               atol=1e-5 * np.abs(ga).max())
+
+
+def test_stream12_s2d_rejects_conv1_2_tap():
+    params = vgg.init_params(seed=0)
+    m = {"conv1_2": jnp.ones((1, 96, 96), jnp.float32)}
+    with pytest.raises(ValueError, match="s2d"):
+        vgg.stream_block12_grams(
+            params, jnp.zeros((96, 96, 3)), m, strips=3,
+            gram_layers=("conv1_2",), block1_impl="s2d")
+
+
 def test_stream12_paper_norm(setup):
     """m1 (paper) normalization streams too — the numerator is shared,
     only the divisor changes."""
