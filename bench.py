@@ -255,7 +255,7 @@ def main():
               "iters/sec @ 4096x4096 full deep-photo, streamed blocks "
               "1-2 (1 chip)", ips, "iters/sec", 500.0 / ips + t_pre,
               precompute_s=t_pre, backend=backend,
-              note="64-strip lax.scan streaming "
+              note="128-row-strip lax.scan streaming "
                    "(vgg.stream_block12_grams); standard path OOMs")
     except Exception as e:  # never lose the headline line to config6
         print(json.dumps({"metric": "config6 4096x4096 streamed",

@@ -1389,12 +1389,23 @@ def stream12_strips(stream12: int, h: int, w: int) -> int:
     with 4× tile-padding expansion; every batch-form variant is
     rejected at allocation. 3072² still fits the standard path at
     14.3 G — ARCHITECTURE.md round 3). 0 = off; N = strip count.
+
+    Auto strip height: 128 rows when h allows, else 64. Measured at
+    4096² AFTER the in-scan s2d lowering (campaign #17): hs=128
+    1.409 it/s vs hs=64 1.370 vs hs=256 1.134 — taller strips halve
+    the per-iteration fixed costs and the halo fraction (12.5% vs
+    25%), until per-strip tensors outgrow the regime the conv
+    emitters like (hs=256 loses 20%). Pre-#17 the verdict was the
+    reverse (hs=64 1.158 vs hs=128 1.151) — the s2d form shrank the
+    conv cost, so the fixed costs the strip count amortizes moved.
     """
     if stream12 != -1:
         return stream12
-    if jax.default_backend() != "tpu" or h % 64 or h * w <= 3072 * 3072:
+    if jax.default_backend() != "tpu" or h * w <= 3072 * 3072:
         return 0
-    return h // 64
+    if h % 128 == 0:
+        return h // 128
+    return h // 64 if h % 64 == 0 else 0
 
 
 def stream12_compatible(layers, strips: int, image_shape) -> bool:
