@@ -144,6 +144,13 @@ class StylizeConfig:
     # the kernel's gates don't hold (non-default block-1/2 taps, odd
     # widths).
     stream12_impl: str = "scan"
+    # Remat granularity of the streamed strip backward: "full" re-runs
+    # the whole strip (blocks 1-2); "b2" saves the block-2 conv outputs
+    # + pool results (~2.1 GB bf16 at 4096² — 4× smaller than the
+    # block-1 tensors that must keep streaming) so the backward re-runs
+    # only block 1 and pool2's tie backward stops re-running its
+    # reduce-window. "auto" = measured default (vgg.stream12_remat_mode).
+    stream12_remat: str = "auto"
     # "none" | "full" | "block1" | "block12": jax.checkpoint the loss —
     # the backward recomputes (all | block-1 | block-1+2) VGG activations
     # instead of storing residuals (trades MXU FLOPs for the HBM-bound
@@ -260,7 +267,7 @@ class StylizeConfig:
             block1_impl="conv", s2d_gram="nd",
             # the strip scan's slices likewise; row-sharded meshes are
             # the multi-chip answer to the same memory regime
-            stream12=0, stream12_impl="scan",
+            stream12=0, stream12_impl="scan", stream12_remat="auto",
         )
 
     def prepare_config(self) -> "StylizeConfig":
@@ -284,7 +291,8 @@ class StylizeConfig:
             style_layer_weights=(1.0,) * len(self.style_layers),
             remat="none", s2b_strips=0, strip_gram="interior",
             block1_impl="conv", s2d_gram="nd",
-            stream12=0, stream12_impl="scan", history_terms="auto",
+            stream12=0, stream12_impl="scan", stream12_remat="auto",
+            history_terms="auto",
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             seg_protocol="resize", seg_scales=(1.0,),
@@ -332,6 +340,9 @@ class StylizeConfig:
         if self.stream12_impl not in ("scan", "pallas"):
             raise ValueError(
                 f"unknown stream12_impl {self.stream12_impl!r}")
+        if self.stream12_remat not in ("auto", "full", "b2"):
+            raise ValueError(
+                f"unknown stream12_remat {self.stream12_remat!r}")
         if self.s2b_strips == 1:
             # one strip is a no-op (vgg._s2b_enabled treats <=1 as off)
             # but would mint a distinct jit static key for the identical

@@ -438,6 +438,48 @@ def _pool(x: jnp.ndarray, kind: str, pool_impl: str = "xla") -> jnp.ndarray:
     return s * 0.25
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _maxpool2_withy(x: jnp.ndarray, y: jnp.ndarray,
+                    pool_impl: str = "xla") -> jnp.ndarray:
+    """`_maxpool2` with the pooled value passed IN as a residual.
+
+    Same tie-splitting backward as `_maxpool2_bwd`, but `y` arrives as
+    an argument instead of being produced inside the custom-VJP fwd —
+    so under a `save_only_these_names` remat policy the caller can
+    checkpoint_name the (stop-gradiented) pooled value and the backward
+    reads it instead of RE-RUNNING the reduce-window (17.8 ms/step of
+    the 4096² streamed step's remat, round-3 trace). Callers must pass
+    y == reduce_window_max(x) (see `_pool_save_y`)."""
+    return y
+
+
+def _maxpool2_withy_fwd(x, y, pool_impl):
+    return y, (x, y)
+
+
+def _maxpool2_withy_bwd(pool_impl, res, g):
+    (gx,) = _maxpool2_bwd(pool_impl, res, g)
+    return gx, jnp.zeros_like(res[1])
+
+
+_maxpool2_withy.defvjp(_maxpool2_withy_fwd, _maxpool2_withy_bwd)
+
+
+def _pool_save_y(x: jnp.ndarray, kind: str, pool_impl: str,
+                 save_name: str) -> jnp.ndarray:
+    """`_pool` whose max-pool RESULT is a named saveable for remat
+    policies: the tie backward's `y` residual resolves to the saved
+    value, so no reduce-window re-run appears in the rematted
+    computation. Average pooling is linear (no residuals) — unchanged.
+    Bit-identical outputs and gradients to `_pool` in every mode."""
+    if kind != "max":
+        return _pool(x, kind, pool_impl)
+    y = jax.lax.stop_gradient(jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"))
+    y = checkpoint_name(y, save_name)
+    return _maxpool2_withy(x, y, pool_impl)
+
+
 # Activation. jnp.maximum(x, 0)'s general VJP splits the cotangent
 # across exact ties (2 compares + 2 selects + a divide fused into every
 # conv backward), where jax.nn.relu's custom JVP (∇relu(0) = 0) is one
@@ -1424,16 +1466,30 @@ def stream12_compatible(layers, strips: int, image_shape) -> bool:
 _B12_ORDER = ("conv1_1", "conv1_2", "pool1", "conv2_1", "conv2_2", "pool2")
 
 
+def stream12_remat_mode(mode: str) -> str:
+    """Resolve the streamed blocks-1-2 remat mode ("auto" -> measured
+    default). "full" remats the whole strip in the backward; "b2" saves
+    the block-2 conv outputs and the pool results (~2.1 GB bf16 at
+    4096², vs the ~8 GB block-1 tensors that must keep streaming) so
+    the backward re-runs only block 1 — the block-2 convs (~29 of the
+    65 GFLOP/strip recompute) and pool2's reduce-window re-run drop out
+    of the rematted computation (campaign #18)."""
+    if mode != "auto":
+        return mode
+    return "b2"
+
+
 @partial(jax.jit, static_argnames=("strips", "gram_layers", "pooling",
                                    "compute_dtype", "pool_impl",
-                                   "block1_impl"))
+                                   "block1_impl", "remat_mode"))
 def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                          *, strips: int,
                          gram_layers: tuple[str, ...],
                          pooling: str = "max",
                          compute_dtype: str = "float32",
                          pool_impl: str = "auto",
-                         block1_impl: str = "conv"):
+                         block1_impl: str = "conv",
+                         remat_mode: str = "full"):
     """Blocks 1-2 as a strip-streamed `lax.scan` — activations never
     materialize at full resolution.
 
@@ -1464,6 +1520,16 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
     lane-slices via the nd analytic-VJP Gram. Requires even strip rows
     and width and no conv1_2 tap; Gram sums match the conv form to fp
     summation order (tests/test_stream12.py).
+
+    remat_mode="b2" (campaign #18, see `stream12_remat_mode`) saves the
+    block-2 conv outputs and the pool results per strip instead of
+    re-running them in the backward — program-equivalent (bit-identical
+    values and gradients on CPU, tests/test_stream12.py; on TPU the
+    saved vs recomputed convs get different MXU accumulation schedules,
+    so values stay bit-identical but gradients match only to ~1 bf16
+    ulp per element and long optimizations diverge chaotically, like
+    any sub-ulp change), ~45% less remat conv work, +~2.1 GB bf16 of
+    saved residuals at 4096².
     """
     cdt = jnp.dtype(compute_dtype)
     h, w = image.shape[:2]
@@ -1471,6 +1537,13 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
     halo0 = _S2B_HALO
     p_imp = "xla" if pool_impl == "pallas" else pool_impl
     use_s2d = block1_impl == "s2d"
+    # remat_mode="b2": the strip backward saves block 2 instead of
+    # re-running it. Block-1 tensors (4×64-lane half-res grids, ~8 GB
+    # at 4096²) MUST keep streaming, but block-2 conv outputs are 4×
+    # smaller — naming them (+ the pool results, whose tie backward
+    # otherwise re-runs the reduce-window) under save_only_these_names
+    # drops ~45% of the remat's conv FLOPs (campaign #18).
+    remat_b2 = remat_mode == "b2"
     if use_s2d and (w % 2 or hs % 2 or "conv1_2" in gram_layers):
         raise ValueError(
             "stream12 block1_impl='s2d' needs even strip rows/width and "
@@ -1530,7 +1603,10 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
             order = _B12_ORDER[3:]                   # conv2_1 onward
         for name in order:
             if name.startswith("pool"):
-                x = _pool(x, pooling, p_imp)
+                if remat_b2:
+                    x = _pool_save_y(x, pooling, p_imp, "stream12_b2")
+                else:
+                    x = _pool(x, pooling, p_imp)
                 halo //= 2
                 own //= 2
                 continue
@@ -1541,6 +1617,11 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
             x = jax.lax.conv_general_dilated(
                 x, wgt.astype(cdt), (1, 1), "SAME",
                 dimension_numbers=_DN, preferred_element_type=cdt)
+            if remat_b2 and name.startswith("conv2"):
+                # save the RAW conv output: bias/ReLU/boundary-zeroing
+                # (and the Gram's interior flatten) re-derive from it
+                # elementwise in the backward; the conv itself doesn't
+                x = checkpoint_name(x, "stream12_b2")
             x = _relu(x + p["b"].astype(cdt))
             rows = x.shape[1]
             gi = idx * own + jnp.arange(rows) - halo
@@ -1564,7 +1645,13 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
             x = x.astype(cdt)
         return grams, x[0, halo:halo + own]      # pool2 rows (hs/4,w/4,128)
 
-    ckpt_body = jax.checkpoint(strip_fwd)
+    if remat_b2:
+        ckpt_body = jax.checkpoint(
+            strip_fwd,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "stream12_b2"))
+    else:
+        ckpt_body = jax.checkpoint(strip_fwd)
 
     def scan_body(carry, inp):
         xs_i, ms_i, idx = inp

@@ -264,7 +264,9 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                     pooling=cfg.pooling,
                     compute_dtype=cfg.compute_dtype,
                     pool_impl=cfg.pool_impl,
-                    block1_impl="s2d" if s2d12 else "conv")
+                    block1_impl="s2d" if s2d12 else "conv",
+                    remat_mode=vgg.stream12_remat_mode(
+                        cfg.stream12_remat))
             g_out = {}
             for l in b12_layers:
                 m = consts.masks[l].astype(jnp.float32)

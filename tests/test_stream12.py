@@ -84,6 +84,29 @@ def test_stream12_s2d_block1_matches_standard(setup):
                                atol=1e-5 * np.abs(ga).max())
 
 
+def test_stream12_remat_b2_bit_identical(setup):
+    """stream12_remat="b2" (campaign #18: the strip backward saves the
+    block-2 conv outputs + pool results instead of re-running them)
+    changes only WHEN values are computed, never what — value and
+    gradient must be BIT-identical to the full-remat scan on CPU, in
+    both block-1 lowerings. (On TPU the saved vs recomputed convs get
+    different MXU accumulation schedules, so gradients there match
+    only to ~1 bf16 ulp per element — measured on chip @512²: value
+    bit-identical, grad 0.27% rms / 0.45% max rel-to-scale.)"""
+    content, cfg, consts, weights, params = setup
+    for b1 in ("conv", "s2d"):
+        cfg_f = dataclasses.replace(cfg, stream12=3, block1_impl=b1,
+                                    stream12_remat="full")
+        cfg_b = dataclasses.replace(cfg_f, stream12_remat="b2")
+        t0, terms0, g0 = _value_grad(cfg_f, content, consts, weights,
+                                     params)
+        t1, terms1, g1 = _value_grad(cfg_b, content, consts, weights,
+                                     params)
+        np.testing.assert_array_equal(t1, t0)
+        np.testing.assert_array_equal(terms1, terms0)
+        np.testing.assert_array_equal(g1, g0)
+
+
 def test_stream12_s2d_rejects_conv1_2_tap():
     params = vgg.init_params(seed=0)
     m = {"conv1_2": jnp.ones((1, 96, 96), jnp.float32)}
