@@ -151,6 +151,14 @@ class StylizeConfig:
     # only block 1 and pool2's tie backward stops re-running its
     # reduce-window. "auto" = measured default (vgg.stream12_remat_mode).
     stream12_remat: str = "auto"
+    # Lowering of the streamed block-2 convs: "conv" = the generic
+    # conv_general_dilated loop; "dot" = flat offset-slice matmul form
+    # (campaign #19, vgg._flat_conv3x3 — kills the emitter's batch-1
+    # space-to-batch repacks). "dot" is a measured-negative opt-in
+    # (4096² same-process A/B: 1.135 vs 1.419 it/s — the repack copies
+    # overlap with compute; the im2col concatenate is real new traffic).
+    # "auto" = measured default "conv" (vgg.stream12_conv2_mode).
+    stream12_conv2: str = "auto"
     # "none" | "full" | "block1" | "block12": jax.checkpoint the loss —
     # the backward recomputes (all | block-1 | block-1+2) VGG activations
     # instead of storing residuals (trades MXU FLOPs for the HBM-bound
@@ -268,6 +276,7 @@ class StylizeConfig:
             # the strip scan's slices likewise; row-sharded meshes are
             # the multi-chip answer to the same memory regime
             stream12=0, stream12_impl="scan", stream12_remat="auto",
+            stream12_conv2="auto",
         )
 
     def prepare_config(self) -> "StylizeConfig":
@@ -292,7 +301,7 @@ class StylizeConfig:
             remat="none", s2b_strips=0, strip_gram="interior",
             block1_impl="conv", s2d_gram="nd",
             stream12=0, stream12_impl="scan", stream12_remat="auto",
-            history_terms="auto",
+            stream12_conv2="auto", history_terms="auto",
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             seg_protocol="resize", seg_scales=(1.0,),
@@ -343,6 +352,9 @@ class StylizeConfig:
         if self.stream12_remat not in ("auto", "full", "b2"):
             raise ValueError(
                 f"unknown stream12_remat {self.stream12_remat!r}")
+        if self.stream12_conv2 not in ("auto", "conv", "dot"):
+            raise ValueError(
+                f"unknown stream12_conv2 {self.stream12_conv2!r}")
         if self.s2b_strips == 1:
             # one strip is a no-op (vgg._s2b_enabled treats <=1 as off)
             # but would mint a distinct jit static key for the identical

@@ -1450,6 +1450,92 @@ def stream12_strips(stream12: int, h: int, w: int) -> int:
     return h // 64 if h % 64 == 0 else 0
 
 
+def _flat_offsets(w2: int) -> tuple:
+    """Row-major flat offsets of the 3×3 stencil on a width-w2 grid."""
+    return tuple(ky * w2 + kx for ky in range(3) for kx in range(3))
+
+
+def _offset_dot(buf: jnp.ndarray, w_flat: jnp.ndarray, offs, n: int
+                ) -> jnp.ndarray:
+    """y[j] = Σ_k buf[j + offs[k]] · w_k — a 3×3 conv as nine offset
+    slices of ONE row-major flat buffer lane-concatenated into a single
+    (n, 9·Ci) im2col block and contracted in ONE MXU dot (9·Ci deep).
+
+    The point (campaign #19): at batch-1 strip geometry XLA's conv
+    emitter repacks every block-2 conv into space-to-batch forms —
+    copy/reshape/pad was 53% of the 4096² streamed scan's time
+    (248 of 469 ms/step, round-3 trace). A flat row-major buffer makes
+    all nine stencil taps CONTIGUOUS offset slices, so the only data
+    movement left is the one im2col concatenate the MXU contraction
+    needs anyway."""
+    ci = buf.shape[1]
+    cols = [jax.lax.slice(buf, (o, 0), (o + n, ci)) for o in offs]
+    ic = jnp.concatenate(cols, axis=1)                    # (n, 9·Ci)
+    return jax.lax.dot_general(
+        ic, w_flat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=buf.dtype)
+
+
+@jax.custom_vjp
+def _flat_conv3x3(xg: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """SAME 3×3 conv on a zero-padded flat grid, as offset-slice matmuls.
+
+    xg: (R+2, W2, Ci) — pixel (r, c) lives at grid (r+1, c+1); row 0,
+    row R+1, column 0 and columns W+1.. are zeros (the caller builds
+    this with jnp.pad and re-zeroes between convs). w: (3, 3, Ci, Co)
+    HWIO. Returns (R, W2, Co) in the SAME column convention — pixel c
+    at column c+1; columns 0 and W+1.. hold row-wrap garbage the caller
+    must mask before use. The backward is the mirrored offset-slice
+    form (transposed taps at reflected offsets), NOT the emitter's
+    transposed conv; weights get a zero cotangent (frozen VGG, same
+    contract as _conv_dotbwd/_k4_conv)."""
+    r2, w2, ci = xg.shape
+    n = (r2 - 2) * w2
+    flat = jnp.pad(xg.reshape(r2 * w2, ci), ((1, 7), (0, 0)))
+    y = _offset_dot(flat, w.reshape(9 * ci, -1), _flat_offsets(w2), n)
+    return y.reshape(r2 - 2, w2, -1)
+
+
+def _flat_conv3x3_fwd(xg, w):
+    return _flat_conv3x3(xg, w), (xg.shape, w)
+
+
+def _flat_conv3x3_bwd(res, g):
+    (r2, w2, ci), w = res
+    co = w.shape[-1]
+    n = (r2 - 2) * w2
+    # y[j] reads X[j + o_k − 1] (o_k = ky·w2+kx over the 1-padded ext),
+    # so dX[m] = Σ_k dy[m + 1 − o_k] · w_kᵀ. Pad dy by F = 2·w2+2 in
+    # front: offsets q_k = F + 1 − o_k ≥ 1 stay slice-legal, and the
+    # backward is the SAME offset-slice matmul shape as the forward.
+    f = 2 * w2 + 2
+    gy = jnp.pad(g.reshape(n, co).astype(w.dtype),
+                 ((f, 2 * w2 + 8), (0, 0)))
+    offs = tuple(f + 1 - o for o in _flat_offsets(w2))
+    wt = w.reshape(9, ci, co).transpose(0, 2, 1).reshape(9 * co, ci)
+    dx = _offset_dot(gy, wt, offs, r2 * w2)
+    return dx.reshape(r2, w2, ci), jnp.zeros_like(w)
+
+
+_flat_conv3x3.defvjp(_flat_conv3x3_fwd, _flat_conv3x3_bwd)
+
+
+def stream12_conv2_mode(mode: str) -> str:
+    """Resolve the streamed block-2 conv lowering ("auto" -> measured
+    default). "conv": the generic conv_general_dilated strip loop.
+    "dot": campaign #19's flat offset-slice matmul form (_flat_conv3x3)
+    — block 2 stays in one row-major padded grid through conv2_1 →
+    conv2_2 → pool2, Grams fed in grid layout, so the emitter's
+    batch-1 space-to-batch repacks never exist. MEASURED-NEGATIVE at
+    4096² (same-process A/B on v5e: 1.135 vs 1.419 it/s, 0.80×): the
+    trace's 53% copy attribution on the emitter's repacks OVERLAPS
+    with compute, while the im2col concatenate materializes a real
+    9×-amplified (N, 576) block per conv — opt-in only."""
+    if mode != "auto":
+        return mode
+    return "conv"
+
+
 def stream12_compatible(layers, strips: int, image_shape) -> bool:
     """Streaming covers taps in blocks 1-2 ONLY as masked Grams; any
     full-tensor tap (content layer) there forces the standard path."""
@@ -1481,7 +1567,8 @@ def stream12_remat_mode(mode: str) -> str:
 
 @partial(jax.jit, static_argnames=("strips", "gram_layers", "pooling",
                                    "compute_dtype", "pool_impl",
-                                   "block1_impl", "remat_mode"))
+                                   "block1_impl", "remat_mode",
+                                   "conv2_impl"))
 def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                          *, strips: int,
                          gram_layers: tuple[str, ...],
@@ -1489,7 +1576,8 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                          compute_dtype: str = "float32",
                          pool_impl: str = "auto",
                          block1_impl: str = "conv",
-                         remat_mode: str = "full"):
+                         remat_mode: str = "full",
+                         conv2_impl: str = "conv"):
     """Blocks 1-2 as a strip-streamed `lax.scan` — activations never
     materialize at full resolution.
 
@@ -1530,6 +1618,18 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
     ulp per element and long optimizations diverge chaotically, like
     any sub-ulp change), ~45% less remat conv work, +~2.1 GB bf16 of
     saved residuals at 4096².
+
+    conv2_impl="dot" (campaign #19, see `stream12_conv2_mode`) runs
+    conv2_1 → conv2_2 → pool2 in the flat offset-slice matmul form
+    (`_flat_conv3x3`): block 2 lives in one row-major zero-padded grid,
+    each conv is one im2col concatenate + one MXU dot, the epilogue
+    (bias/ReLU/boundary- and garbage-column-zeroing) is a single fused
+    multiply, and block-2 Grams are fed the padded grid directly with
+    grid-layout masks (zeros at pads/halo) — the conv emitter's batch-1
+    space-to-batch repacks (53% of the streamed scan's trace time at
+    4096²) never exist. Same math; matches "conv" to fp summation
+    order. MEASURED-NEGATIVE opt-in (0.80× at 4096² — the repack
+    copies overlap with compute, the im2col traffic is real).
     """
     cdt = jnp.dtype(compute_dtype)
     h, w = image.shape[:2]
@@ -1558,11 +1658,22 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
     xs = jnp.stack([
         jax.lax.slice_in_dim(xp, i * hs, i * hs + hs + 2 * halo0, axis=0)
         for i in range(strips)])                 # (S, hs+16, W, 3)
+    use_dot2 = conv2_impl == "dot"
     mstacks = {}
     for layer in gram_layers:
         f = layer_downsample_factor(layer)
         m = jnp.asarray(masks[layer])            # (K, h/f, w/f)
         k = m.shape[0]
+        if use_dot2 and layer in ("conv2_1", "conv2_2"):
+            # grid-layout masks for the flat block 2: own rows placed
+            # at [halo, halo+own), pixel col c at grid col c+1, zeros
+            # at halo rows / pad cols — the Gram numerator is (m∘F)ᵀ
+            # (m∘F), so zero mask ≡ the old interior slice
+            mm = m.reshape(k, strips, hs // f, w // f).transpose(
+                1, 0, 2, 3)                      # (S, K, own_l, w_l)
+            mstacks[layer] = jnp.pad(
+                mm, ((0, 0), (0, 0), (halo0 // f, halo0 // f), (1, 7)))
+            continue
         if use_s2d and layer == "conv1_1":
             # four per-parity GRID masks in s2d_slices_par's slot order
             # (halo / beyond-image / garbage slots zero) — built once
@@ -1602,6 +1713,43 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                     c_l, k1, c_l).transpose(1, 0, 2)
             order = _B12_ORDER[3:]                   # conv2_1 onward
         for name in order:
+            if name == "conv2_1" and use_dot2:
+                # campaign #19: block 2 in ONE row-major padded grid
+                # (see docstring / _flat_conv3x3). x here is the pool1
+                # output (1, R, w_l, 64), halo/own at block-2 res.
+                w_l = x.shape[2]
+                okc = jnp.pad(jnp.ones((w_l,), cdt), (1, 7))
+                xg = jnp.pad(x[0], ((1, 1), (1, 7), (0, 0)))
+                for name2 in ("conv2_1", "conv2_2"):
+                    p2 = params[name2]
+                    y = _flat_conv3x3(xg, p2["w"].astype(cdt))
+                    if remat_b2:
+                        y = checkpoint_name(y, "stream12_b2")
+                    y = _relu(y + p2["b"].astype(cdt))
+                    gi = idx * own + jnp.arange(y.shape[0]) - halo
+                    okr = ((gi >= 0) & (gi < own * strips)).astype(cdt)
+                    # one fused multiply: beyond-image rows AND the
+                    # flat form's wrap-garbage columns go to zero
+                    y = y * (okr[:, None, None] * okc[None, :, None])
+                    if name2 in gram_layers:
+                        c_l = y.shape[-1]
+                        m = ms_i[name2]          # (K, R, W2) grid
+                        from ..ops.losses import _grams_raw_flat
+                        m2 = (m * m).astype(cdt).reshape(m.shape[0], -1)
+                        g = _grams_raw_flat(y.reshape(-1, c_l), m2)
+                        grams[name2] = g.reshape(
+                            c_l, m.shape[0], c_l).transpose(1, 0, 2)
+                    if name2 == "conv2_1":
+                        xg = jnp.pad(y, ((1, 1), (0, 0), (0, 0)))
+                x = y[:, 1:w_l + 1][None]        # (1, R, w_l, 128)
+                if remat_b2:
+                    x = _pool_save_y(x, pooling, p_imp, "stream12_b2")
+                else:
+                    x = _pool(x, pooling, p_imp)
+                halo //= 2
+                own //= 2
+                x = x.astype(cdt)
+                break
             if name.startswith("pool"):
                 if remat_b2:
                     x = _pool_save_y(x, pooling, p_imp, "stream12_b2")

@@ -266,7 +266,9 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                     pool_impl=cfg.pool_impl,
                     block1_impl="s2d" if s2d12 else "conv",
                     remat_mode=vgg.stream12_remat_mode(
-                        cfg.stream12_remat))
+                        cfg.stream12_remat),
+                    conv2_impl=vgg.stream12_conv2_mode(
+                        cfg.stream12_conv2))
             g_out = {}
             for l in b12_layers:
                 m = consts.masks[l].astype(jnp.float32)
