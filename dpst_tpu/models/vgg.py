@@ -1565,6 +1565,17 @@ def stream12_remat_mode(mode: str) -> str:
     return "b2"
 
 
+def stream12_s2d_ok(w: int, hs: int, gram_layers) -> bool:
+    """Shape preconditions for ``block1_impl="s2d"`` inside the
+    stream12 strip scan: even width and strip rows (the s2d parity
+    split) and no conv1_2 tap (its grid-layout Gram feed is not
+    built). ONE source of truth shared by the auto gate
+    (optimize's block-1 route) and ``stream_block12_grams``'s
+    validation so the two sites cannot drift.
+    """
+    return not (w % 2 or hs % 2 or "conv1_2" in gram_layers)
+
+
 @partial(jax.jit, static_argnames=("strips", "gram_layers", "pooling",
                                    "compute_dtype", "pool_impl",
                                    "block1_impl", "remat_mode",
@@ -1644,7 +1655,7 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
     # otherwise re-runs the reduce-window) under save_only_these_names
     # drops ~45% of the remat's conv FLOPs (campaign #18).
     remat_b2 = remat_mode == "b2"
-    if use_s2d and (w % 2 or hs % 2 or "conv1_2" in gram_layers):
+    if use_s2d and not stream12_s2d_ok(w, hs, gram_layers):
         raise ValueError(
             "stream12 block1_impl='s2d' needs even strip rows/width and "
             "no conv1_2 tap")
@@ -1686,6 +1697,16 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
             k, strips, hs // f, w // f).transpose(1, 0, 2, 3)
 
     def strip_fwd(xs_i, ms_i, idx):
+        # _grams_raw_* carry the one-pass analytic VJP — inside this
+        # checkpointed scan the backward otherwise re-walks each
+        # strip's (P, K·C) block three times
+        from ..ops.losses import _grams_raw_flat, _grams_raw_nd
+
+        def pool_strip(x):
+            if remat_b2:
+                return _pool_save_y(x, pooling, p_imp, "stream12_b2")
+            return _pool(x, pooling, p_imp)
+
         x = xs_i.astype(cdt)[None]       # already preprocessed (above)
         halo, own = halo0, hs
         grams = {}
@@ -1699,7 +1720,6 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                 halo_px=halo0, own_px=hs)
             halo, own = halo0 // 2, hs // 2
             if "conv1_1" in gram_layers:
-                from ..ops.losses import _grams_raw_nd
                 sls = s2d_slices_par(t1["conv1_1"])  # 4× (1, ro, co, C)
                 mi = ms_i["conv1_1"]                 # (4, K, ro, co)
                 c_l = sls[0].shape[-1]
@@ -1734,7 +1754,6 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                     if name2 in gram_layers:
                         c_l = y.shape[-1]
                         m = ms_i[name2]          # (K, R, W2) grid
-                        from ..ops.losses import _grams_raw_flat
                         m2 = (m * m).astype(cdt).reshape(m.shape[0], -1)
                         g = _grams_raw_flat(y.reshape(-1, c_l), m2)
                         grams[name2] = g.reshape(
@@ -1742,19 +1761,13 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                     if name2 == "conv2_1":
                         xg = jnp.pad(y, ((1, 1), (0, 0), (0, 0)))
                 x = y[:, 1:w_l + 1][None]        # (1, R, w_l, 128)
-                if remat_b2:
-                    x = _pool_save_y(x, pooling, p_imp, "stream12_b2")
-                else:
-                    x = _pool(x, pooling, p_imp)
+                x = pool_strip(x)
                 halo //= 2
                 own //= 2
                 x = x.astype(cdt)
                 break
             if name.startswith("pool"):
-                if remat_b2:
-                    x = _pool_save_y(x, pooling, p_imp, "stream12_b2")
-                else:
-                    x = _pool(x, pooling, p_imp)
+                x = pool_strip(x)
                 halo //= 2
                 own //= 2
                 continue
@@ -1781,11 +1794,7 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                 f2 = f.reshape(own * f.shape[1], c_l)
                 m = ms_i[name]                   # (K, own, w_l)
                 # numerator is m²-weighted for BOTH norms ((m∘F)ᵀ(m∘F));
-                # the norm choice only changes the external divisor.
-                # _grams_raw_flat carries the one-pass analytic VJP —
-                # inside this checkpointed scan the backward otherwise
-                # re-walks each strip's (P, K·C) block three times
-                from ..ops.losses import _grams_raw_flat
+                # the norm choice only changes the external divisor
                 m2 = (m * m).astype(cdt).reshape(m.shape[0], -1)
                 g = _grams_raw_flat(f2, m2)
                 grams[name] = g.reshape(

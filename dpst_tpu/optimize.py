@@ -255,8 +255,8 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                 hs12 = h_img // strips
                 s2d12 = (vgg._resolve_block1(
                              cfg.block1_impl, h_img, w_img)
-                         and w_img % 2 == 0 and hs12 % 2 == 0
-                         and "conv1_2" not in b12_layers)
+                         and vgg.stream12_s2d_ok(
+                             w_img, hs12, b12_layers))
                 gsums, x_p2 = vgg.stream_block12_grams(
                     vgg_params, image,
                     {l: consts.masks[l] for l in b12_layers},

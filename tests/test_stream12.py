@@ -129,7 +129,8 @@ def test_stream12_conv2_dot_grams_and_pool2_exact(setup):
     cts = {l: jnp.asarray(r.normal(size=(
         2, vgg.CONV_SHAPES[l][1], vgg.CONV_SHAPES[l][1])
         ).astype(np.float32)) for l in gl}
-    ct_p2 = None
+    ct_p2 = jnp.asarray(np.random.default_rng(7).normal(
+        size=(1, 24, 24, 128)).astype(np.float32))
 
     def outputs(impl, b1, remat, pooling):
         g, p2 = vgg.stream_block12_grams(
@@ -152,9 +153,6 @@ def test_stream12_conv2_dot_grams_and_pool2_exact(setup):
             return jnp.sum(g[which] * cts[which])
         return np.asarray(jax.grad(loss)(img))
 
-    if ct_p2 is None:
-        ct_p2 = jnp.asarray(np.random.default_rng(7).normal(
-            size=(1, 24, 24, 128)).astype(np.float32))
     for b1, remat, pooling in (("conv", "b2", "max"),
                                ("s2d", "full", "max"),
                                ("conv", "b2", "avg")):
