@@ -1724,6 +1724,10 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                 mi = ms_i["conv1_1"]                 # (4, K, ro, co)
                 c_l = sls[0].shape[-1]
                 k1 = mi.shape[1]
+                # this is losses.masked_grams_nd_multi's accumulation
+                # minus normalization, EXCEPT the mask squares here in
+                # fp32 then casts (the batch path casts then squares);
+                # goldens are pinned to each order — don't "unify"
                 g = None
                 for i in range(4):
                     m2 = (mi[i] * mi[i]).astype(cdt)
