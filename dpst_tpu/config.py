@@ -149,7 +149,11 @@ class StylizeConfig:
     # + pool results (~2.1 GB bf16 at 4096² — 4× smaller than the
     # block-1 tensors that must keep streaming) so the backward re-runs
     # only block 1 and pool2's tie backward stops re-running its
-    # reduce-window. "auto" = measured default (vgg.stream12_remat_mode).
+    # reduce-window. "b12" additionally saves conv1_2's raw output
+    # (+2.4 GB at 4096²; the backward re-runs only the cheap K4
+    # conv1_1 — ~95% of block 1's remat FLOPs drop); "b12f" saves
+    # conv1_1's grid too (+4.9 GB total; no convs re-run). "auto" =
+    # measured default (vgg.stream12_remat_mode).
     stream12_remat: str = "auto"
     # Lowering of the streamed block-2 convs: "conv" = the generic
     # conv_general_dilated loop; "dot" = flat offset-slice matmul form
@@ -224,8 +228,22 @@ class StylizeConfig:
         free there; honoring "total" would compile a distinct executable
         for identical math).
         """
+        # stream12_remat / stream12_conv2 resolve shape-independently
+        # ("auto" -> the measured defaults in vgg.stream12_remat_mode /
+        # stream12_conv2_mode), so "auto" and the resolved value describe
+        # one program — canonicalize so they share a jit key; and when
+        # streaming is explicitly OFF the loop never reads them at all,
+        # so force the defaults (ADVICE r3).
+        from dpst_tpu.models import vgg as _vgg
+        s12_remat = _vgg.stream12_remat_mode(self.stream12_remat)
+        s12_conv2 = _vgg.stream12_conv2_mode(self.stream12_conv2)
+        s12_impl = self.stream12_impl
+        if self.stream12 == 0:
+            s12_remat, s12_conv2, s12_impl = "b2", "conv", "scan"
         return dataclasses.replace(
             self,
+            stream12_remat=s12_remat, stream12_conv2=s12_conv2,
+            stream12_impl=s12_impl,
             history_terms=("full" if self.optimizer == "adam"
                            else ("total" if self.history_terms == "auto"
                                  else self.history_terms)),
@@ -349,7 +367,8 @@ class StylizeConfig:
         if self.stream12_impl not in ("scan", "pallas"):
             raise ValueError(
                 f"unknown stream12_impl {self.stream12_impl!r}")
-        if self.stream12_remat not in ("auto", "full", "b2"):
+        if self.stream12_remat not in ("auto", "full", "b2", "b12",
+                                       "b12f"):
             raise ValueError(
                 f"unknown stream12_remat {self.stream12_remat!r}")
         if self.stream12_conv2 not in ("auto", "conv", "dot"):

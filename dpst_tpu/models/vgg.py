@@ -1077,7 +1077,7 @@ _parity_pool.defvjp(_parity_pool_fwd, _parity_pool_bwd)
 
 def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
                 cdt, pool_impl: str, base, hi: int,
-                halo_px: int, own_px: int):
+                halo_px: int, own_px: int, remat_save: tuple = ()):
     """Run conv1_1 → conv1_2 → pool1 in space-to-depth form.
 
     x: preprocessed (S, R, W, 3), R and W even — strip form (base[s] =
@@ -1111,6 +1111,8 @@ def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
         z1 = jax.lax.conv_general_dilated(
             x, k11, (2, 2), ((2, 2), (2, 2)), dimension_numbers=_DN,
             preferred_element_type=cdt)
+    if "z1" in remat_save:      # stream12_remat="b12f": save the raw
+        z1 = checkpoint_name(z1, "stream12_b2")   # conv1_1 grid too
     taps = {}
     if "conv1_1" in layers:
         # RAW tap + bias: the Gram cooks its own epilogue per parity
@@ -1124,6 +1126,10 @@ def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
     y = checkpoint_name(y, "vgg_block1")
 
     z = _s2d_conv(y, k12, cdt)                # aligned (S, R/2, W/2, 256)
+    if "z" in remat_save:       # stream12_remat="b12"/"b12f": save the
+        z = checkpoint_name(z, "stream12_b2")  # raw conv1_2 grid — the
+        # backward then re-runs only the (cheap) K4 conv1_1, not the
+        # 256x256 2x2 conv that carries ~95% of block 1's remat FLOPs
     postact = (pool_impl in ("auto", "postact") and pooling == "max"
                and "conv1_2" not in layers)
     if postact:
@@ -1559,7 +1565,11 @@ def stream12_remat_mode(mode: str) -> str:
     4096², vs the ~8 GB block-1 tensors that must keep streaming) so
     the backward re-runs only block 1 — the block-2 convs (~29 of the
     65 GFLOP/strip recompute) and pool2's reduce-window re-run drop out
-    of the rematted computation (campaign #18)."""
+    of the rematted computation (campaign #18). "b12" additionally
+    saves conv1_2's raw output (+2.4 GB at 4096²; only the cheap K4
+    conv1_1 re-runs — the round-4 roofline put block-1 remat at
+    ~2.6 TFLOP/step, 95% of it conv1_2); "b12f" saves conv1_1's grid
+    too (+4.9 GB; no convs re-run)."""
     if mode != "auto":
         return mode
     return "b2"
@@ -1654,7 +1664,13 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
     # smaller — naming them (+ the pool results, whose tie backward
     # otherwise re-runs the reduce-window) under save_only_these_names
     # drops ~45% of the remat's conv FLOPs (campaign #18).
-    remat_b2 = remat_mode == "b2"
+    remat_b2 = remat_mode in ("b2", "b12", "b12f")
+    # "b12": additionally save conv1_2's raw output (the conv carrying
+    # ~95% of block 1's remat FLOPs; +2.4 GB bf16 at 4096²); "b12f":
+    # conv1_1's raw grid too (backward re-runs NO convs; +4.9 GB)
+    b1_save = {"b12": ("z",), "b12f": ("z1", "z")}.get(remat_mode, ())
+    b1_conv_prefixes = {"b2": ("conv2",), "b12": ("conv2", "conv1_2"),
+                        "b12f": ("conv2", "conv1")}.get(remat_mode, ())
     if use_s2d and not stream12_s2d_ok(w, hs, gram_layers):
         raise ValueError(
             "stream12 block1_impl='s2d' needs even strip rows/width and "
@@ -1717,7 +1733,7 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                 ("conv1_1",) if "conv1_1" in gram_layers else (),
                 pooling=pooling, cdt=cdt, pool_impl=p_imp,
                 base=(idx * hs - halo0)[None], hi=h,
-                halo_px=halo0, own_px=hs)
+                halo_px=halo0, own_px=hs, remat_save=b1_save)
             halo, own = halo0 // 2, hs // 2
             if "conv1_1" in gram_layers:
                 sls = s2d_slices_par(t1["conv1_1"])  # 4× (1, ro, co, C)
@@ -1782,7 +1798,7 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
             x = jax.lax.conv_general_dilated(
                 x, wgt.astype(cdt), (1, 1), "SAME",
                 dimension_numbers=_DN, preferred_element_type=cdt)
-            if remat_b2 and name.startswith("conv2"):
+            if remat_b2 and name.startswith(b1_conv_prefixes):
                 # save the RAW conv output: bias/ReLU/boundary-zeroing
                 # (and the Gram's interior flatten) re-derive from it
                 # elementwise in the backward; the conv itself doesn't
@@ -1823,9 +1839,14 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
     carry0 = {l: jnp.zeros(
         (k_by_layer[l], CONV_SHAPES[l][1], CONV_SHAPES[l][1]),
         jnp.float32) for l in gram_layers}
+    # DPST_STREAM12_UNROLL=N unrolls the strip scan body N-fold — a
+    # perf-lab knob (round-4 roofline candidate B): a longer body gives
+    # the scheduler room to overlap strip DMA with compute across strip
+    # boundaries, at N× program size. Default 1 (no unroll).
+    unroll = int(os.environ.get("DPST_STREAM12_UNROLL", "1"))
     carry, pool2 = jax.lax.scan(
         scan_body, carry0,
-        (xs, mstacks, jnp.arange(strips)))
+        (xs, mstacks, jnp.arange(strips)), unroll=unroll)
     pool2 = pool2.reshape(1, h // 4, w // 4, pool2.shape[-1])
     return carry, pool2
 

@@ -221,6 +221,21 @@ def test_loop_config_canonicalization():
     f1 = StylizeConfig(history_terms="total")
     f2 = StylizeConfig(history_terms="full")
     assert f1.loop_config() == f2.loop_config()
+    # stream12_remat/stream12_conv2: "auto" resolves shape-independently
+    # ("b2"/"conv"), so it must share the jit key with the resolved value
+    # (ADVICE r3); and with streaming explicitly OFF the loop never reads
+    # them, so every value collapses to one key.
+    g1 = StylizeConfig(stream12_remat="auto", stream12_conv2="auto")
+    g2 = StylizeConfig(stream12_remat="b2", stream12_conv2="conv")
+    assert g1.loop_config() == g2.loop_config()
+    g3 = StylizeConfig(stream12=0, stream12_remat="full",
+                       stream12_conv2="dot", stream12_impl="pallas")
+    g4 = StylizeConfig(stream12=0)
+    assert g3.loop_config() == g4.loop_config()
+    # but with streaming possibly active they stay distinguishing
+    g5 = StylizeConfig(stream12=8, stream12_remat="full")
+    g6 = StylizeConfig(stream12=8, stream12_remat="b2")
+    assert g5.loop_config() != g6.loop_config()
 
 
 def test_prepare_config_canonicalization():

@@ -97,14 +97,18 @@ def test_stream12_remat_b2_bit_identical(setup):
     for b1 in ("conv", "s2d"):
         cfg_f = dataclasses.replace(cfg, stream12=3, block1_impl=b1,
                                     stream12_remat="full")
-        cfg_b = dataclasses.replace(cfg_f, stream12_remat="b2")
         t0, terms0, g0 = _value_grad(cfg_f, content, consts, weights,
                                      params)
-        t1, terms1, g1 = _value_grad(cfg_b, content, consts, weights,
-                                     params)
-        np.testing.assert_array_equal(t1, t0)
-        np.testing.assert_array_equal(terms1, terms0)
-        np.testing.assert_array_equal(g1, g0)
+        # "b12"/"b12f" extend the saved set into block 1 (round-4
+        # roofline harvest candidates) — same equivalence contract
+        for mode in ("b2", "b12", "b12f"):
+            cfg_b = dataclasses.replace(cfg_f, stream12_remat=mode)
+            t1, terms1, g1 = _value_grad(cfg_b, content, consts,
+                                         weights, params)
+            np.testing.assert_array_equal(t1, t0, err_msg=f"{b1}/{mode}")
+            np.testing.assert_array_equal(terms1, terms0,
+                                          err_msg=f"{b1}/{mode}")
+            np.testing.assert_array_equal(g1, g0, err_msg=f"{b1}/{mode}")
 
 
 def test_stream12_conv2_dot_grams_and_pool2_exact(setup):
