@@ -98,8 +98,61 @@ def test_golden_lbfgs_config3():
     # percent of curve wobble (the image itself stays SSIM-pinned)
     np.testing.assert_allclose(np.asarray(hist[:, 0]), golden_loss,
                                rtol=8e-2)
+    # ...but the FIRST steps precede the branch divergence: a tight pin
+    # there catches systematic drift the 8% bound would pass
+    # (VERDICT r3 item 6)
+    np.testing.assert_allclose(np.asarray(hist[:10, 0]),
+                               golden_loss[:10], rtol=1e-2)
     # linesearch quality: ~16x loss reduction in 40 steps on this run
     assert hist[0, 0] / hist[-1, 0] > 10.0
+
+
+def test_golden_lbfgs_eval_counts():
+    """Pin the zoom linesearch's per-step evaluation counts (VERDICT r3
+    item 6): a systematic linesearch regression (e.g. a broken cache
+    forcing re-evaluations, or Wolfe parameters drifting) can stay
+    inside the loss curve's 8% tolerance while multiplying the real cost
+    per step — the eval trajectory is where it must show."""
+    import jax.numpy as jnp
+
+    from dpst_tpu import (StylizeConfig, optimize, prepare_constants,
+                          segmentation)
+    from dpst_tpu.models import vgg
+
+    content, style = _pair()
+    cfg = StylizeConfig(use_segmentation=False, use_photorealism=True,
+                        laplacian_impl="xla", compute_dtype="float32",
+                        iterations=40, optimizer="lbfgs",
+                        regularization_weight=100.0)
+    params = vgg.init_params(seed=0)
+    mask = segmentation.uniform_masks((48, 48))
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(mask),
+        jnp.asarray(mask), cfg, params)
+    loop_cfg = cfg.loop_config()
+    opt = optimize.make_optimizer(loop_cfg)
+    img0 = optimize.init_image(cfg, jnp.asarray(content))
+    st = optimize.init_opt_state(opt, loop_cfg, img0)
+    hist, evals = optimize.lbfgs_eval_trajectory(
+        img0, st, consts, optimize.LossWeights.from_config(cfg), params,
+        n_steps=40, cfg=loop_cfg)
+
+    # shared-step sanity: identical trajectory to the production loop
+    golden_loss = np.load(
+        os.path.join(GOLDEN_DIR, "lbfgs_config3_48px_loss.npy"))
+    np.testing.assert_allclose(np.asarray(hist[:, 0]), golden_loss,
+                               rtol=8e-2)
+
+    golden_evals = np.load(
+        os.path.join(GOLDEN_DIR, "lbfgs_config3_48px_evals.npy"))
+    evals = np.asarray(evals)
+    # per-step: a branch flip from sub-ulp env drift moves a count by
+    # ±1-2; a systematic regression adds evals across MANY steps — so
+    # pin the per-step deviation loosely and the TOTAL tightly
+    assert np.abs(evals - golden_evals).max() <= 2, (
+        evals.tolist(), golden_evals.tolist())
+    assert abs(int(evals.sum()) - int(golden_evals.sum())) <= 4, (
+        int(evals.sum()), int(golden_evals.sum()))
 
 
 def test_golden_config4_multiscale():

@@ -82,6 +82,31 @@ def main():
     out, hist = stylize(content, style, cfgl, return_history=True)
     save("lbfgs_config3_48px", out, hist)
 
+    # linesearch eval-count trajectory (tests/test_golden.py::
+    # test_golden_lbfgs_eval_counts — mirror that test exactly)
+    import jax.numpy as jnp
+
+    from dpst_tpu import optimize, prepare_constants, segmentation
+    from dpst_tpu.models import vgg
+
+    params = vgg.init_params(seed=0)
+    mask = segmentation.uniform_masks((48, 48))
+    consts = prepare_constants(
+        jnp.asarray(content), jnp.asarray(style), jnp.asarray(mask),
+        jnp.asarray(mask), cfgl, params)
+    loop_cfg = cfgl.loop_config()
+    opt = optimize.make_optimizer(loop_cfg)
+    img0 = optimize.init_image(cfgl, jnp.asarray(content))
+    st = optimize.init_opt_state(opt, loop_cfg, img0)
+    _, evals = optimize.lbfgs_eval_trajectory(
+        img0, st, consts, optimize.LossWeights.from_config(cfgl), params,
+        n_steps=40, cfg=loop_cfg)
+    evals = np.asarray(evals)
+    np.save(os.path.join(GOLDEN_DIR, "lbfgs_config3_48px_evals.npy"),
+            evals)
+    print(f"lbfgs evals: total {int(evals.sum())} over {len(evals)} "
+          f"steps (max {int(evals.max())})")
+
     cfg4 = StylizeConfig(use_segmentation=False, use_photorealism=True,
                          laplacian_impl="xla", compute_dtype="float32",
                          iterations=30, scales=(16, 32, 48),
