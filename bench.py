@@ -259,7 +259,10 @@ def main():
               "1-2 (1 chip)", ips, "iters/sec", 500.0 / ips + t_pre,
               precompute_s=t_pre, backend=backend,
               note="128-row-strip lax.scan streaming "
-                   "(vgg.stream_block12_grams); standard path OOMs")
+                   "(vgg.stream_block12_grams); standard path OOMs; "
+                   "precompute is ~95% host->device transfer of the "
+                   "~670 MB of 4096^2 inputs through the axon tunnel "
+                   "(warm prepare itself is 0.4 s device-resident)")
     except Exception as e:  # never lose the headline line to config6
         print(json.dumps({"metric": "config6 4096x4096 streamed",
                           "value": 0.0, "unit": "iters/sec",

@@ -1569,7 +1569,13 @@ def stream12_remat_mode(mode: str) -> str:
     saves conv1_2's raw output (+2.4 GB at 4096²; only the cheap K4
     conv1_1 re-runs — the round-4 roofline put block-1 remat at
     ~2.6 TFLOP/step, 95% of it conv1_2); "b12f" saves conv1_1's grid
-    too (+4.9 GB; no convs re-run)."""
+    too (+4.9 GB; no convs re-run).
+
+    Round-4 chip verdicts at 4096² (same-process A/B,
+    tools/r4_tpu_campaign.py): b12 is NEUTRAL (1.423 vs b2's 1.419
+    it/s — dropping 95% of block-1 remat FLOPs buys nothing, the step
+    is scheduler-bound, not recompute-bound) and b12f OOMs. Auto stays
+    "b2": same speed, 2.4 GB less live memory."""
     if mode != "auto":
         return mode
     return "b2"
@@ -1842,7 +1848,9 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
     # DPST_STREAM12_UNROLL=N unrolls the strip scan body N-fold — a
     # perf-lab knob (round-4 roofline candidate B): a longer body gives
     # the scheduler room to overlap strip DMA with compute across strip
-    # boundaries, at N× program size. Default 1 (no unroll).
+    # boundaries, at N× program size. Default 1 (no unroll). Measured:
+    # N=2 at 4096² OOMs (two strips of remat residuals live at once) —
+    # unavailable exactly where it would matter.
     unroll = int(os.environ.get("DPST_STREAM12_UNROLL", "1"))
     carry, pool2 = jax.lax.scan(
         scan_body, carry0,

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Per-VGG-block step-time attribution: join a profiler trace with the
+same executable's optimized HLO (VERDICT r3 item 3).
+
+trace_report.py aggregates by HLO op name (fusion.1005, …); this tool
+goes one level further: it parses the optimized module text (from
+tools/r4_tpu_campaign_b.py), recovers each op's result shape — and for
+fusions the shapes inside the fused computation body — and classifies
+every op into a pipeline segment (vgg block 1-5, gram/loss, laplacian,
+optimizer/image) by its dominant tensor's (width, channels) signature at
+the given input size. MXU time = convolution/dot opcodes (root or fused
+body). No chip needed: pure trace+text parsing.
+
+Usage: python tools/block_attrib.py TRACE_DIR HLO_TXT STEPS SIZE
+"""
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+_SHAPE = re.compile(r"(?:bf16|f32|f16|s32|u32|s8|u8|pred|s64|u64)"
+                    r"\[([0-9,]*)\]")
+_INST = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.-]+) = ")
+_OPCODE = re.compile(r"= (?:\([^)]*\)|[^ ]+) ([a-z][\w-]*)")
+_CALLS = re.compile(r"(?:calls|to_apply)=%?([\w.-]+)")
+_COMP = re.compile(r"^%?([\w.-]+)\s+(?:\([^)]*\))?.*\{\s*$")
+
+MXU_OPS = {"convolution", "dot"}
+
+
+def parse_hlo(path):
+    """name -> dict(opcode, shapes (list of dim tuples), body (comp name));
+    plus comp name -> list of instruction line indices."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    insts = {}
+    comp_of_line = {}
+    comp = None
+    comp_insts = collections.defaultdict(list)
+    for i, ln in enumerate(lines):
+        mc = re.match(r"^(?:ENTRY\s+)?%?([\w.-]+)\s.*\{\s*$", ln)
+        if mc and "=" not in ln.split("{")[0]:
+            comp = mc.group(1)
+            continue
+        m = _INST.match(ln)
+        if not m:
+            continue
+        name = m.group(1)
+        op = _OPCODE.search(ln)
+        shapes = [tuple(int(d) for d in s.split(",") if d)
+                  for s in _SHAPE.findall(ln.split(" metadata=")[0])]
+        body = _CALLS.search(ln)
+        insts[name] = {"opcode": op.group(1) if op else "?",
+                       "shapes": shapes,
+                       "body": body.group(1) if body else None}
+        if comp:
+            comp_insts[comp].append(name)
+    return insts, comp_insts
+
+
+def classify(dims, size):
+    """One tensor -> segment label, by (width, channels) at input SIZE."""
+    if not dims:
+        return None
+    if len(dims) < 2:
+        return "scalar/loss"
+    c = dims[-1]
+    w = dims[-2]
+    if len(dims) == 2 or (len(dims) == 3 and dims[-1] == dims[-2]
+                          and c in (64, 128, 256, 512)):
+        return "gram/loss"
+
+    def near(x, t):
+        return abs(x - t) <= max(8, t // 64)
+
+    if near(w, size):
+        return "image/laplacian" if c <= 4 else "block1"
+    if near(w, size // 2):
+        if c >= 192:
+            return "block1"          # s2d grids (4x64 = 256 lanes)
+        return "block2" if c >= 96 else "block1"
+    if near(w, size // 4):
+        if c >= 192:
+            return "block3"
+        return "block2"              # pool2 outputs / b2 grads
+    if near(w, size // 8):
+        return "block4" if c >= 384 else "block3"
+    if near(w, size // 16):
+        return "block5" if c >= 384 else "block4"
+    if near(w, size // 32):
+        return "block5"
+    return None
+
+
+def op_segment(name, insts, comp_insts, size):
+    """Segment + is_mxu for one HLO op, fused bodies included: the
+    segment of the LARGEST tensor touched (traffic-dominant)."""
+    info = insts.get(name)
+    if info is None:
+        return "unmapped", False
+    shapes = list(info["shapes"])
+    mxu = info["opcode"] in MXU_OPS
+    if info["body"]:
+        for sub in comp_insts.get(info["body"], []):
+            si = insts.get(sub)
+            if not si:
+                continue
+            shapes.extend(si["shapes"])
+            if si["opcode"] in MXU_OPS:
+                mxu = True
+    best, best_n = None, -1
+    for d in shapes:
+        n = 1
+        for x in d:
+            n *= x
+        seg = classify(d, size)
+        if seg and n > best_n:
+            best, best_n = seg, n
+    if info["opcode"] == "custom-call":
+        best = "laplacian(pallas)"
+    return best or "other", mxu
+
+
+def trace_durations(trace_dir):
+    paths = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*", "*.trace.json.gz")),
+        key=os.path.getmtime)
+    if not paths:
+        sys.exit(f"no trace under {trace_dir}")
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pid_name, tid_name = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_name[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_name[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    device_pids = {p for p, n in pid_name.items()
+                   if "TPU" in n or "device" in n.lower()}
+    lanes = {k for k, n in tid_name.items()
+             if k[0] in device_pids and "XLA Ops" in n}
+    if not lanes:
+        lanes = {k for k in tid_name if k[0] in device_pids}
+    per_op = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in lanes:
+            continue
+        name = e.get("name", "?")
+        if name.startswith("jit_") or name.startswith("while"):
+            continue
+        per_op[name] += e.get("dur", 0) / 1e3
+    return per_op
+
+
+def main():
+    trace_dir, hlo_path = sys.argv[1], sys.argv[2]
+    steps, size = int(sys.argv[3]), int(sys.argv[4])
+    insts, comp_insts = parse_hlo(hlo_path)
+    per_op = trace_durations(trace_dir)
+    seg_total = collections.Counter()
+    seg_mxu = collections.Counter()
+    seg_ops = collections.defaultdict(collections.Counter)
+    unmapped = collections.Counter()
+    total = 0.0
+    for name, dur in per_op.items():
+        base = name.split("(")[0]
+        seg, mxu = op_segment(base, insts, comp_insts, size)
+        seg_total[seg] += dur
+        if mxu:
+            seg_mxu[seg] += dur
+        seg_ops[seg][base] += dur
+        if seg in ("unmapped", "other"):
+            unmapped[base] += dur
+        total += dur
+    print(f"device total {total / steps * 1e3:.0f} us/step "
+          f"({steps} steps, size {size})")
+    print("\n| segment | us/step | % | MXU us/step | MXU share |")
+    print("|---|---|---|---|---|")
+    for seg, dur in seg_total.most_common():
+        m = seg_mxu[seg]
+        print(f"| {seg} | {dur / steps * 1e3:.0f} | "
+              f"{100 * dur / total:.1f}% | {m / steps * 1e3:.0f} | "
+              f"{100 * m / max(dur, 1e-9):.0f}% |")
+    print("\n-- top ops per segment --")
+    for seg, _ in seg_total.most_common():
+        tops = ", ".join(f"{o}:{d / steps * 1e3:.0f}us"
+                         for o, d in seg_ops[seg].most_common(4))
+        print(f"{seg}: {tops}")
+    if unmapped:
+        print("\n-- largest unmapped --")
+        for o, d in unmapped.most_common(8):
+            print(f"  {o}: {d / steps * 1e3:.0f} us/step")
+
+
+if __name__ == "__main__":
+    main()
