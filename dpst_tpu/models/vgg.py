@@ -1077,7 +1077,8 @@ _parity_pool.defvjp(_parity_pool_fwd, _parity_pool_bwd)
 
 def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
                 cdt, pool_impl: str, base, hi: int,
-                halo_px: int, own_px: int, remat_save: tuple = ()):
+                halo_px: int, own_px: int, remat_save: tuple = (),
+                k4_px: int | None = None):
     """Run conv1_1 → conv1_2 → pool1 in space-to-depth form.
 
     x: preprocessed (S, R, W, 3), R and W even — strip form (base[s] =
@@ -1105,7 +1106,12 @@ def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
     # (40.3 vs 39.7 — the (P, 48) tap tensor's HBM traffic outgrows
     # the layout tax it saves, the same crossover _resolve_conv11
     # measured for the direct dotbwd).
-    if hi * w_img < _K4_MATMUL_BWD_MAX:
+    # the gate unit is the PER-DISPATCH work: per image on the
+    # standard/batch paths (the regime #9's crossover was measured in),
+    # per strip inside the stream12 scan (k4_px, round-4: the scan's
+    # 136-row strips sit far below the image-level crossover while the
+    # emitter's 3-ch space-to-batch dx costs 26 ms/step at 4096²)
+    if (k4_px if k4_px is not None else hi * w_img) < _K4_MATMUL_BWD_MAX:
         z1 = _k4_conv(x, k11)                 # odd (S, R/2+1, W/2+1, 256)
     else:
         z1 = jax.lax.conv_general_dilated(

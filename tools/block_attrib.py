@@ -62,37 +62,42 @@ def parse_hlo(path):
 
 
 def classify(dims, size):
-    """One tensor -> segment label, by (width, channels) at input SIZE."""
+    """One tensor -> segment label, by (channels, sqrt(total elements))
+    against each block's canonical (spatial, channels) signatures at
+    input SIZE. Width alone misclassifies XLA's space-to-batch conv
+    tiles (e.g. bf16[64,1,8,10,512] is block4's dx, not a 10-px-wide
+    block5 tensor) — the element count survives the tiling."""
+    import math
     if not dims:
         return None
     if len(dims) < 2:
         return "scalar/loss"
     c = dims[-1]
-    w = dims[-2]
     if len(dims) == 2 or (len(dims) == 3 and dims[-1] == dims[-2]
                           and c in (64, 128, 256, 512)):
         return "gram/loss"
-
-    def near(x, t):
-        return abs(x - t) <= max(8, t // 64)
-
-    if near(w, size):
-        return "image/laplacian" if c <= 4 else "block1"
-    if near(w, size // 2):
-        if c >= 192:
-            return "block1"          # s2d grids (4x64 = 256 lanes)
-        return "block2" if c >= 96 else "block1"
-    if near(w, size // 4):
-        if c >= 192:
-            return "block3"
-        return "block2"              # pool2 outputs / b2 grads
-    if near(w, size // 8):
-        return "block4" if c >= 384 else "block3"
-    if near(w, size // 16):
-        return "block5" if c >= 384 else "block4"
-    if near(w, size // 32):
-        return "block5"
-    return None
+    n = 1
+    for x in dims[:-1]:
+        n *= x
+    if n <= 0:
+        return None
+    sp = math.sqrt(n)
+    if c <= 4:
+        return "image/laplacian" if sp >= size / 2 else "scalar/loss"
+    # (spatial, channels) signatures: convs, pools, s2d parity grids
+    CAND = [("block1", size, 64), ("block1", size / 2, 256),
+            ("block1", size / 2, 64),
+            ("block2", size / 2, 128), ("block2", size / 4, 128),
+            ("block3", size / 4, 256), ("block3", size / 8, 256),
+            ("block4", size / 8, 512),
+            ("block5", size / 16, 512)]
+    best, best_s = None, 1e9
+    for seg, sp_c, c_c in CAND:
+        score = (abs(math.log(sp / sp_c))
+                 + 0.5 * abs(math.log(max(c, 1) / c_c)))
+        if score < best_s:
+            best, best_s = seg, score
+    return best if best_s < math.log(1.8) else None
 
 
 def op_segment(name, insts, comp_insts, size):
@@ -120,7 +125,11 @@ def op_segment(name, insts, comp_insts, size):
         if seg and n > best_n:
             best, best_n = seg, n
     if info["opcode"] == "custom-call":
-        best = "laplacian(pallas)"
+        # two Pallas kernels exist: the Laplacian matvec (name carries
+        # "matvec") and the gram_s2d diag-block kernel (everything else)
+        best = ("laplacian(pallas)" if "matvec" in name
+                else "gram_s2d(pallas)")
+        mxu = "gram" in best        # the gram kernel is band MXU dots
     return best or "other", mxu
 
 
@@ -159,6 +168,21 @@ def trace_durations(trace_dir):
 def main():
     trace_dir, hlo_path = sys.argv[1], sys.argv[2]
     steps, size = int(sys.argv[3]), int(sys.argv[4])
+    # optional 5th arg: batch size B of a vmapped batch-path trace —
+    # tensor element counts carry the B factor, so the spatial estimate
+    # divides it out (per-pair segment times: pass steps*B as STEPS)
+    batch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    if batch > 1:
+        import math
+        global classify
+        _orig = classify
+
+        def classify_b(dims, size, _orig=_orig, batch=batch):
+            if len(dims) >= 3 and dims[0] == batch:
+                dims = (1,) + tuple(dims[1:])
+            return _orig(dims, size)
+
+        classify = classify_b
     insts, comp_insts = parse_hlo(hlo_path)
     per_op = trace_durations(trace_dir)
     seg_total = collections.Counter()
