@@ -81,6 +81,42 @@ def _masks(k, h, w):
     return m
 
 
+def _timed_staged_run(content, style, cmask, smask, cfg):
+    """One chunked `stylize` run (cfg.intermediate_interval-step
+    segments): (total wall s, records, history) where records =
+    [(global_step, cumulative_wall_s, loss_at_step)] at every segment
+    boundary. Each record closes with a history fetch (CLAUDE.md rule 2
+    barrier), so the cumulative walls are real device completion times;
+    records[i] therefore measures the wall-clock of the truncated
+    schedule that stops at that boundary (determinism: the truncated
+    run's steps are bit-identical to this run's prefix —
+    tests/test_bench_config9.py pins both properties)."""
+    import dpst_tpu
+
+    records = []
+    t0 = time.perf_counter()
+
+    def cb(step, image, hist):
+        loss = float(np.asarray(hist)[-1, 0])        # fetch barrier
+        records.append((step, time.perf_counter() - t0, loss))
+
+    out, hist = dpst_tpu.stylize(
+        content, style, cfg, content_masks=cmask, style_masks=smask,
+        callback=cb, return_history=True)
+    np.asarray(out)
+    return time.perf_counter() - t0, records, np.asarray(hist)
+
+
+def _iso_cross(records, coarse_steps, target):
+    """First segment boundary past the coarse stages whose loss <=
+    target -> (final_stage_iters, cumulative_wall_s); None if the run
+    never reaches the target loss."""
+    for step, wall, loss in records:
+        if step > coarse_steps and loss <= target:
+            return step - coarse_steps, wall
+    return None
+
+
 def _loop_rate(cfg, h, w, timed=100):
     """(it/s, marginal precompute s, one-time setup s) for one config's
     hot loop at (h, w) — prepare, warm, then one timed scan segment."""
@@ -313,43 +349,54 @@ def main():
                           "error": str(e)[:300]}), flush=True)
 
     # --- config 9: 2048² convergence wall-clock, multi-scale vs single ----
-    # VERDICT r3 item 2: the number a user of high-res deep photo style
-    # transfer actually feels — warm wall-clock of a multi-scale
-    # (512-1024-2048, 100 it/scale) run vs a single-scale 300-iter run,
-    # with the final 2048² total loss of each (same objective, same
-    # constants semantics — directly comparable).
+    # VERDICT r3 item 2 / r4 weak #4: the number a user of high-res deep
+    # photo style transfer actually feels — wall-clock for the
+    # multi-scale schedule (512-1024 coarse stages, 100 it each) to
+    # REACH the single-scale 300-iter run's final loss at 2048² (the
+    # iso-loss crossing, measured at 50-iter segment boundaries; both
+    # arms run the same chunked protocol). Multi-scale wins iff
+    # value < ss_wall_s AND iso_loss_reached — the line's numbers
+    # satisfy its own criterion by construction or say so honestly.
     try:
         content9, style9 = _pair(2048, 2048)
         cm9 = _masks(4, 2048, 2048)
         base9 = dict(use_segmentation=True, use_photorealism=True,
-                     max_classes=4, compute_dtype="bfloat16")
-        cfg9 = {
-            "ms": dpst_tpu.StylizeConfig(
-                iterations=100, scales=(512, 1024, 2048), **base9),
-            "ss": dpst_tpu.StylizeConfig(iterations=300, **base9),
-        }
-        runs = {}
-        for name, c in cfg9.items():
-            out, hist = dpst_tpu.stylize(
-                content9, style9, c, content_masks=cm9,
-                style_masks=cm9.copy(), return_history=True)   # warm
-            np.asarray(out)
-            t0 = time.perf_counter()
-            out, hist = dpst_tpu.stylize(
-                content9, style9, c, content_masks=cm9,
-                style_masks=cm9.copy(), return_history=True)
-            np.asarray(out)
-            runs[name] = (time.perf_counter() - t0, float(hist[-1, 0]))
+                     max_classes=4, compute_dtype="bfloat16",
+                     intermediate_interval=50)
+        cfg_ss = dpst_tpu.StylizeConfig(iterations=300, **base9)
+        cfg_ms = dpst_tpu.StylizeConfig(
+            iterations=300, scales=(512, 1024, 2048),
+            scale_iters=(100, 100, 300), **base9)
+        for c in (cfg_ss, cfg_ms):                 # warm/compile pass
+            _timed_staged_run(content9, style9, cm9, cm9.copy(), c)
+        ss_wall, _, hist_ss = _timed_staged_run(
+            content9, style9, cm9, cm9.copy(), cfg_ss)
+        ss_final = float(hist_ss[-1, 0])
+        ms_wall, recs, hist_ms = _timed_staged_run(
+            content9, style9, cm9, cm9.copy(), cfg_ms)
+        cross = _iso_cross(recs, 200, ss_final)
+        if cross is not None:
+            k_final, iso_wall = cross
+            value, reached = iso_wall, True
+            ms_loss = next(l for s, _, l in recs if s == 200 + k_final)
+        else:
+            k_final, value, reached = 300, ms_wall, False
+            ms_loss = float(hist_ms[-1, 0])
         _emit("config9",
-              "wall-clock @ 2048x2048 multi-scale convergence "
-              "(512-1024-2048, 100 it/scale)",
-              runs["ms"][0], "seconds", runs["ms"][0],
-              ms_final_loss=runs["ms"][1],
-              ss_wall_s=runs["ss"][0], ss_final_loss=runs["ss"][1],
+              "wall-clock @ 2048x2048 to the single-scale final loss, "
+              "multi-scale (512-1024 coarse, iso-loss-truncated final)",
+              value, "seconds", value,
+              iso_loss_reached=reached, ms_final_scale_iters=k_final,
+              ms_loss_at_value=ms_loss, ms_extended_wall_s=ms_wall,
+              ss_wall_s=ss_wall, ss_final_loss=ss_final,
               backend=backend,
-              note="ss_* = single-scale 300-iter comparison run at "
-                   "2048² (same objective; lower final loss in less "
-                   "wall-clock = multi-scale wins)")
+              note="value = wall-clock for the multi-scale schedule "
+                   "(100 it @512, 100 it @1024, final stage truncated "
+                   "at the first 50-iter boundary whose 2048² loss <= "
+                   "the single-scale 300-iter final loss). Criterion: "
+                   "multi-scale wins iff iso_loss_reached and value < "
+                   "ss_wall_s. Protocol pinned by "
+                   "tests/test_bench_config9.py")
     except Exception as e:  # never lose the headline line to config9
         print(json.dumps({"metric": "config9 2048x2048 multi-scale",
                           "value": 0.0, "unit": "seconds",

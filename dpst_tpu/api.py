@@ -159,8 +159,11 @@ def _scale_schedule(cfg: StylizeConfig, hw: tuple[int, int]
         else:
             h = max(8, int(round(hw[0] * scale / 8.0)) * 8)
             w = max(8, int(round(hw[1] * scale / 8.0)) * 8)
-        iters = max(1, int(round(
-            cfg.iterations * cfg.scale_iter_factor ** (n - 1 - i))))
+        if cfg.scale_iters:
+            iters = cfg.scale_iters[i]     # explicit per-stage override
+        else:
+            iters = max(1, int(round(
+                cfg.iterations * cfg.scale_iter_factor ** (n - 1 - i))))
         if stages and stages[-1][:2] == (h, w):
             stages[-1] = (h, w, stages[-1][2] + iters)
         else:

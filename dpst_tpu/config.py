@@ -46,6 +46,11 @@ class StylizeConfig:
     # earlier scales run `iterations * scale_iter_factor ** (n_remaining)`.
     scales: Tuple[int, ...] = ()
     scale_iter_factor: float = 1.0
+    # Explicit per-stage iteration counts (same length as `scales`),
+    # overriding the `iterations`/`scale_iter_factor` formula — e.g.
+    # scales=(512, 1024, 2048), scale_iters=(100, 100, 250). Stages that
+    # clamp/merge to one resolution sum their entries (api._scale_schedule).
+    scale_iters: Tuple[int, ...] = ()
 
     # --- VGG feature extraction ------------------------------------------
     style_layers: Tuple[str, ...] = (
@@ -251,7 +256,7 @@ class StylizeConfig:
             regularization_weight=1.0,
             tv_weight=1.0 if self.tv_weight else 0.0,
             iterations=0, init_mode="content", init_noise_scale=0.0,
-            seed=0, scales=(), scale_iter_factor=1.0,
+            seed=0, scales=(), scale_iter_factor=1.0, scale_iters=(),
             use_segmentation=False, max_classes=0,
             similarity_metric="grouped", similarity_threshold=0.0,
             mask_downsample="avg", matting_epsilon=0.0,
@@ -314,7 +319,7 @@ class StylizeConfig:
             adam_b1=0.0, adam_b2=0.0, adam_eps=0.0,
             init_mode="content", init_noise_scale=0.0,
             clip_pixels=True, seed=0,
-            scales=(), scale_iter_factor=1.0,
+            scales=(), scale_iter_factor=1.0, scale_iters=(),
             style_layer_weights=(1.0,) * len(self.style_layers),
             remat="none", s2b_strips=0, strip_gram="interior",
             block1_impl="conv", s2d_gram="nd",
@@ -335,6 +340,13 @@ class StylizeConfig:
                 f"{len(self.style_layer_weights)} vs {len(self.style_layers)}")
         if self.optimizer not in ("adam", "lbfgs"):
             raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        if self.scale_iters:
+            if len(self.scale_iters) != len(self.scales):
+                raise ValueError(
+                    "scale_iters must match scales: "
+                    f"{len(self.scale_iters)} vs {len(self.scales)}")
+            if any(n < 1 for n in self.scale_iters):
+                raise ValueError("scale_iters entries must be >= 1")
         if self.init_mode not in ("content", "noise", "style_mean"):
             raise ValueError(f"unknown init_mode {self.init_mode!r}")
         if self.pooling not in ("max", "avg"):

@@ -1108,9 +1108,11 @@ def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
     # measured for the direct dotbwd).
     # the gate unit is the PER-DISPATCH work: per image on the
     # standard/batch paths (the regime #9's crossover was measured in),
-    # per strip inside the stream12 scan (k4_px, round-4: the scan's
-    # 136-row strips sit far below the image-level crossover while the
-    # emitter's 3-ch space-to-batch dx costs 26 ms/step at 4096²)
+    # per strip inside the stream12 scan (k4_px — at 4096² the scan's
+    # 144-row strips sit far below the image-level crossover while the
+    # emitter's 3-ch space-to-batch dx costs ~26 ms/step; wired at the
+    # strip_fwd call site, gate exactness pinned by
+    # tests/test_stream12.py::test_stream12_k4_gate_is_per_strip)
     if (k4_px if k4_px is not None else hi * w_img) < _K4_MATMUL_BWD_MAX:
         z1 = _k4_conv(x, k11)                 # odd (S, R/2+1, W/2+1, 256)
     else:
@@ -1745,7 +1747,13 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                 ("conv1_1",) if "conv1_1" in gram_layers else (),
                 pooling=pooling, cdt=cdt, pool_impl=p_imp,
                 base=(idx * hs - halo0)[None], hi=h,
-                halo_px=halo0, own_px=hs, remat_save=b1_save)
+                halo_px=halo0, own_px=hs, remat_save=b1_save,
+                # the K4 dx gate sees PER-DISPATCH work: one strip
+                # (hs+2·halo rows), not the full image — at 4096² the
+                # 144-row strips sit far below the image-level
+                # crossover, so the matmul-form input gradient replaces
+                # the emitter's 3-ch space-to-batch dx inside the scan
+                k4_px=x.shape[1] * x.shape[2])
             halo, own = halo0 // 2, hs // 2
             if "conv1_1" in gram_layers:
                 sls = s2d_slices_par(t1["conv1_1"])  # 4× (1, ro, co, C)

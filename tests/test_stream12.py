@@ -210,6 +210,67 @@ def test_stream12_conv2_dot_full_loss(setup):
     assert (np.linalg.norm(gb - ga) / np.linalg.norm(ga)) < 0.02
 
 
+def test_stream12_k4_gate_is_per_strip(setup, monkeypatch):
+    """The K4 matmul-dx gate inside the stream12 scan reads PER-STRIP
+    pixels (k4_px at the _block1_s2d call site), not full-image pixels
+    (VERDICT r4 weak #3): at 4096² the 144-row strips sit far below the
+    image-level crossover while the emitter's space-to-batch dx costs
+    ~26 ms/step. Pin (a) the gate unit — with the threshold set BETWEEN
+    strip px and image px, the matmul path must activate — and (b) the
+    exactness of both gate sides against the standard full-tensor
+    path."""
+    content, cfg, consts, weights, params = setup
+    t0, terms0, g0 = _value_grad(cfg, content, consts, weights, params)
+    cfg_s = dataclasses.replace(cfg, stream12=3, block1_impl="s2d")
+    # strips: 3 × (32+16) rows × 96 cols = 4608 px; image: 96² = 9216
+    strip_px = (96 // 3 + 2 * vgg._S2B_HALO) * 96
+    img_px = 96 * 96
+    assert strip_px < img_px
+
+    calls = {"n": 0}
+    real_k4 = vgg._k4_conv
+
+    def counting_k4(x, k4):
+        calls["n"] += 1
+        return real_k4(x, k4)
+
+    monkeypatch.setattr(vgg, "_k4_conv", counting_k4)
+
+    # threshold between strip and image px: a per-strip gate takes the
+    # matmul path, the old full-image gate would not.
+    # stream_block12_grams is itself @jax.jit — the gate constant isn't
+    # in its cache key, so each threshold change must drop the cached
+    # jaxpr or the spy sees a stale program (same mechanism the chip
+    # campaign's A/B handles with clear_caches — CLAUDE.md rule 7's
+    # inverse: a silent NON-retrace)
+    monkeypatch.setattr(vgg, "_K4_MATMUL_BWD_MAX", (strip_px + img_px) // 2)
+    jax.clear_caches()
+    t1, terms1, g1 = _value_grad(cfg_s, content, consts, weights, params)
+    assert calls["n"] > 0, "per-strip gate did not route to _k4_conv"
+    np.testing.assert_allclose(t1, t0, rtol=1e-5)
+    np.testing.assert_allclose(terms1, terms0, rtol=1e-5,
+                               atol=1e-6 * abs(t0))
+    np.testing.assert_allclose(g1, g0, rtol=1e-3,
+                               atol=1e-5 * np.abs(g0).max())
+
+    # threshold below strip px: the conv-emitter side of the gate, same
+    # math (the two dx lowerings must agree through the full loss)
+    calls["n"] = 0
+    monkeypatch.setattr(vgg, "_K4_MATMUL_BWD_MAX", strip_px // 2)
+    jax.clear_caches()
+    t2, terms2, g2 = _value_grad(cfg_s, content, consts, weights, params)
+    assert calls["n"] == 0, "gate below strip px must use the emitter"
+    np.testing.assert_allclose(t2, t0, rtol=1e-5)
+    np.testing.assert_allclose(terms2, terms0, rtol=1e-5,
+                               atol=1e-6 * abs(t0))
+    np.testing.assert_allclose(g2, g0, rtol=1e-3,
+                               atol=1e-5 * np.abs(g0).max())
+    # drop programs traced under the test thresholds so later tests
+    # never see a stale routing (values would still be exact, but the
+    # cache must not outlive the monkeypatch)
+    jax.clear_caches()
+
+
 def test_stream12_s2d_rejects_conv1_2_tap():
     params = vgg.init_params(seed=0)
     m = {"conv1_2": jnp.ones((1, 96, 96), jnp.float32)}

@@ -53,9 +53,17 @@ def parse_hlo(path):
         shapes = [tuple(int(d) for d in s.split(",") if d)
                   for s in _SHAPE.findall(ln.split(" metadata=")[0])]
         body = _CALLS.search(ln)
-        insts[name] = {"opcode": op.group(1) if op else "?",
-                       "shapes": shapes,
-                       "body": body.group(1) if body else None}
+        info = {"opcode": op.group(1) if op else "?",
+                "shapes": shapes,
+                "body": body.group(1) if body else None}
+        if info["opcode"] == "custom-call":
+            mt = re.search(r'custom_call_target="([^"]*)"', ln)
+            # Mosaic kernels carry the pallas_call name inside the
+            # backend_config/kernel_name — keep the whole line so the
+            # classifier can substring-match the kernel identity
+            info["cc_target"] = mt.group(1) if mt else ""
+            info["cc_line"] = ln
+        insts[name] = info
         if comp:
             comp_insts[comp].append(name)
     return insts, comp_insts
@@ -125,11 +133,20 @@ def op_segment(name, insts, comp_insts, size):
         if seg and n > best_n:
             best, best_n = seg, n
     if info["opcode"] == "custom-call":
-        # two Pallas kernels exist: the Laplacian matvec (name carries
-        # "matvec") and the gram_s2d diag-block kernel (everything else)
-        best = ("laplacian(pallas)" if "matvec" in name
-                else "gram_s2d(pallas)")
-        mxu = "gram" in best        # the gram kernel is band MXU dots
+        # two Pallas kernels exist in this program family: the Laplacian
+        # matvec and the gram_s2d diag-block kernel. Match each by its
+        # kernel identity (pallas_call name survives in the op name or
+        # the custom-call line); anything unrecognized — XLA-internal
+        # custom calls, future kernels — buckets as 'other' rather than
+        # being silently counted as gram MXU time (ADVICE r4).
+        hint = name + info.get("cc_target", "") + info.get("cc_line", "")
+        if "matvec" in hint or "laplacian" in hint:
+            best, mxu = "laplacian(pallas)", False
+        elif "gram" in hint:
+            # the gram kernel is band MXU dots
+            best, mxu = "gram_s2d(pallas)", True
+        else:
+            best, mxu = "custom-call(other)", False
     return best or "other", mxu
 
 
@@ -153,7 +170,21 @@ def trace_durations(trace_dir):
     lanes = {k for k, n in tid_name.items()
              if k[0] in device_pids and "XLA Ops" in n}
     if not lanes:
-        lanes = {k for k in tid_name if k[0] in device_pids}
+        # no 'XLA Ops' lane: summing ALL device lanes would double-count
+        # (step/module lanes span whole steps) — take only the single
+        # busiest device lane and say so (ADVICE r4)
+        busy = collections.Counter()
+        for e in events:
+            k = (e.get("pid"), e.get("tid"))
+            if e.get("ph") == "X" and k[0] in device_pids:
+                busy[k] += e.get("dur", 0)
+        if not busy:
+            sys.exit("no device op events in trace")
+        lane, lane_us = busy.most_common(1)[0]
+        print(f"WARNING: no 'XLA Ops' thread; using busiest device lane "
+              f"{tid_name.get(lane, lane)} ({lane_us / 1e6:.1f} s) — "
+              "attribution may include non-op events", file=sys.stderr)
+        lanes = {lane}
     per_op = collections.Counter()
     for e in events:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in lanes:
