@@ -238,7 +238,13 @@ def main():
     bm = np.broadcast_to(_masks(4, HB, HB), (B, 4, HB, HB)).copy()
     cfg5 = dpst_tpu.StylizeConfig(
         use_segmentation=True, use_photorealism=True, max_classes=4,
-        iterations=100, compute_dtype="bfloat16", s2b_strips=0)
+        iterations=100, compute_dtype="bfloat16", s2b_strips=0,
+        # batch-regime resolution (round 5): the vmapped nd Gram
+        # materializes monolithic weighted blocks (2.2× config3's
+        # per-pair gram cost); the streamed Pallas kernel vmaps as an
+        # extra grid dim — 175.0 vs 167.7 pair-it/s B=8 (same
+        # resolution stylize_batch/autotune apply on 1-device meshes)
+        s2d_gram="pallas")
     vgg_params5 = vgg_mod.get_params(seed=cfg5.seed)
     mesh5 = mesh_lib.make_mesh()
     weights5 = mesh_lib.replicate(

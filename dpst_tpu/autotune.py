@@ -84,12 +84,11 @@ def autotune(content, style, config: StylizeConfig | None = None, *,
         # halo redundancy (same reasoning/measurement as stylize_batch)
         import dataclasses
         cfg = dataclasses.replace(cfg, s2b_strips=0)
-    if cfg.s2d_gram != "nd":
-        # same vmap reasoning as stylize_batch: the candidate loop would
-        # batch the s2d-Gram pallas_call onto an unmeasured grid dim;
-        # the nd path vmaps as plain dots
-        import dataclasses
-        cfg = dataclasses.replace(cfg, s2d_gram="nd")
+    # s2d_gram for the vmapped candidate loop is resolved AFTER the
+    # candidate submesh is known (below): the batched Pallas kernel is
+    # the measured single-chip winner (round-5: 175.0 vs 167.7
+    # pair-it/s B=8 @512²), but a sharded candidate axis would leave
+    # the custom call unpartitioned — "nd" vmaps/shards as plain dots.
     content_np = io.load_image(content, size)
     hw = content_np.shape[:2]
     style_np = io.load_image(style, hw)
@@ -115,7 +114,6 @@ def autotune(content, style, config: StylizeConfig | None = None, *,
     style_full = jnp.asarray(style_np)
     cmask_full = jnp.asarray(content_masks, jnp.float32)
     smask_full = jnp.asarray(style_masks, jnp.float32)
-    loop_cfg = cfg.loop_config()
     base_weights = optimize.LossWeights.from_config(cfg)
     stages = _scale_schedule(cfg, hw)
 
@@ -126,6 +124,11 @@ def autotune(content, style, config: StylizeConfig | None = None, *,
     n_shard = max(k for k in range(1, min(n_dev, len(cand)) + 1)
                   if len(cand) % k == 0)
     submesh = mesh_lib.make_mesh(n_shard) if n_shard != n_dev else mesh
+    if cfg.s2d_gram == "auto":
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, s2d_gram="pallas" if n_shard == 1 else "nd")
+    loop_cfg = cfg.loop_config()
 
     def sweep_all_stages(g):
         """Full (possibly multi-scale) optimization per candidate: the

@@ -764,6 +764,14 @@ def _s2d_kernel4(w3: jnp.ndarray) -> jnp.ndarray:
 # count, the transposed-conv emitter above (same-process A/B at the
 # gate decision points; see _block1_s2d)
 _K4_MATMUL_BWD_MAX = 2 ** 20
+# Separate crossover for dispatches INSIDE the stream12 strip scan: 0 =
+# the matmul dx never wins there (round-5 chip A/B @4096², 144-row
+# strips ≈ 2^19.2 px: 1.402 vs 1.419 it/s — measured-negative despite
+# sitting far below the image-level crossover; see _block1_s2d). No
+# measured regime where the in-scan matmul dx wins; re-A/B if the strip
+# geometry regime changes (the hs=128 flip lesson — gate verdicts don't
+# outlive the regime they were measured in).
+_K4_MATMUL_BWD_MAX_STRIP = 0
 
 
 @jax.custom_vjp
@@ -1078,7 +1086,7 @@ _parity_pool.defvjp(_parity_pool_fwd, _parity_pool_bwd)
 def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
                 cdt, pool_impl: str, base, hi: int,
                 halo_px: int, own_px: int, remat_save: tuple = (),
-                k4_px: int | None = None):
+                k4_px: int | None = None, k4_max: int | None = None):
     """Run conv1_1 → conv1_2 → pool1 in space-to-depth form.
 
     x: preprocessed (S, R, W, 3), R and W even — strip form (base[s] =
@@ -1108,12 +1116,19 @@ def _block1_s2d(params: dict, x: jnp.ndarray, layers, *, pooling: str,
     # measured for the direct dotbwd).
     # the gate unit is the PER-DISPATCH work: per image on the
     # standard/batch paths (the regime #9's crossover was measured in),
-    # per strip inside the stream12 scan (k4_px — at 4096² the scan's
-    # 144-row strips sit far below the image-level crossover while the
-    # emitter's 3-ch space-to-batch dx costs ~26 ms/step; wired at the
-    # strip_fwd call site, gate exactness pinned by
-    # tests/test_stream12.py::test_stream12_k4_gate_is_per_strip)
-    if (k4_px if k4_px is not None else hi * w_img) < _K4_MATMUL_BWD_MAX:
+    # per strip inside the stream12 scan (k4_px/k4_max, wired at the
+    # strip_fwd call site; gate exactness pinned by
+    # tests/test_stream12.py::test_stream12_k4_gate_is_per_strip). The
+    # scan context carries its own crossover (_K4_MATMUL_BWD_MAX_STRIP)
+    # because the image-level constant's verdict does not transfer:
+    # round-5 chip A/B @4096² measured the in-scan matmul dx at 1.402
+    # vs 1.419 it/s for the emitter dx it replaces (0.988x, 3/3 reps,
+    # same process) — the trace's 26 ms/step of emitter space-to-batch
+    # dx OVERLAPS with scan compute while the (P, 48) tap tensor is
+    # real new HBM traffic, the same overlap lesson as campaigns
+    # #16/#19 from the other direction.
+    if (k4_px if k4_px is not None else hi * w_img) < (
+            k4_max if k4_max is not None else _K4_MATMUL_BWD_MAX):
         z1 = _k4_conv(x, k11)                 # odd (S, R/2+1, W/2+1, 256)
     else:
         z1 = jax.lax.conv_general_dilated(
@@ -1748,12 +1763,12 @@ def stream_block12_grams(params: dict, image: jnp.ndarray, masks: dict,
                 pooling=pooling, cdt=cdt, pool_impl=p_imp,
                 base=(idx * hs - halo0)[None], hi=h,
                 halo_px=halo0, own_px=hs, remat_save=b1_save,
-                # the K4 dx gate sees PER-DISPATCH work: one strip
-                # (hs+2·halo rows), not the full image — at 4096² the
-                # 144-row strips sit far below the image-level
-                # crossover, so the matmul-form input gradient replaces
-                # the emitter's 3-ch space-to-batch dx inside the scan
-                k4_px=x.shape[1] * x.shape[2])
+                # the K4 dx gate sees PER-DISPATCH work (one strip of
+                # hs+2·halo rows) against the SCAN-context crossover —
+                # measured 0: the emitter dx wins in-scan at every
+                # probed size (see _K4_MATMUL_BWD_MAX_STRIP)
+                k4_px=x.shape[1] * x.shape[2],
+                k4_max=_K4_MATMUL_BWD_MAX_STRIP)
             halo, own = halo0 // 2, hs // 2
             if "conv1_1" in gram_layers:
                 sls = s2d_slices_par(t1["conv1_1"])  # 4× (1, ro, co, C)

@@ -113,13 +113,18 @@ def stylize_batch(contents, styles, cmasks, smasks,
         # redundancy). The gate can't see the vmapped axis, so off here.
         import dataclasses
         cfg = dataclasses.replace(cfg, s2b_strips=0)
-    if cfg.s2d_gram != "nd":
-        # the per-pair loss runs under vmap; batching a pallas_call
-        # lifts it onto an extra grid dim whose performance was never
-        # measured here (and the kernel's measured win is single-pair
-        # 1024²+). The nd path vmaps as plain dots — keep it.
+    if cfg.s2d_gram == "auto":
+        # batch regime: the vmapped nd Gram materializes MONOLITHIC
+        # weighted blocks (B, ro, co, K·C) in poor layouts — the
+        # per-pair gram cost measured 2.2× config3's (1864 vs 865
+        # us/pair, docs/attrib/r5_b8.txt). The streamed Pallas kernel
+        # vmaps as an extra grid dim and never materializes the block:
+        # round-5 chip A/B B=8 @512²: 175.0 vs 167.7 pair-it/s (3/3
+        # reps). On >1-device meshes spmd_safe() below downgrades to
+        # "nd" (custom calls don't partition) — the win is the
+        # single-chip vmapped loop's.
         import dataclasses
-        cfg = dataclasses.replace(cfg, s2d_gram="nd")
+        cfg = dataclasses.replace(cfg, s2d_gram="pallas")
     if vgg_params is None:
         from ..models import vgg
         vgg_params = vgg.get_params(seed=cfg.seed)

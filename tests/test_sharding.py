@@ -190,3 +190,86 @@ def test_batch_2d_mesh_indivisible_raises(toy_batch):
         pbatch.stylize_batch(contents[:3], styles[:3], cmasks[:3],
                              smasks[:3], cfg=_cfg(),
                              mesh=mesh_lib.make_mesh_2d(4, 2))
+
+
+def test_batch_gram_kernel_matches_nd():
+    """Round-5 batch-regime resolution: on a 1-device mesh the vmapped
+    s2d-Gram PALLAS kernel (an extra grid dim per pair) replaces the nd
+    path, whose monolithic weighted-block materialization measured 2.2×
+    config3's per-pair gram cost (175.0 vs 167.7 pair-it/s B=8 @512² on
+    chip). Same math: the batched kernel's loss trajectory must match
+    the nd path to fp summation order."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dpst_tpu import optimize
+    from dpst_tpu.models import vgg
+    from dpst_tpu.parallel import batch as pbatch
+    from dpst_tpu.parallel import mesh as mesh_lib
+
+    r = np.random.default_rng(7)
+    B, size = 2, 128
+    contents = r.uniform(0, 255, (B, size, size, 3)).astype(np.float32)
+    styles = r.uniform(0, 255, (B, size, size, 3)).astype(np.float32)
+    bm = np.zeros((B, 2, size, size), np.float32)
+    bm[:, 0, :64] = 1.0
+    bm[:, 1, 64:] = 1.0
+    # block1_impl="s2d" forced: the CPU auto gate is TPU-only, but the
+    # kernel-vs-nd routing only matters where s2d taps exist
+    cfg = _cfg(s2b_strips=0, block1_impl="s2d", iterations=3)
+    params = vgg.get_params(seed=0)
+    mesh = mesh_lib.make_mesh(1)
+    weights = mesh_lib.replicate(
+        optimize.LossWeights.from_config(cfg), mesh)
+    p = mesh_lib.replicate(params, mesh)
+    b = (jax.device_put(jnp.asarray(contents),
+                        mesh_lib.image_sharding(mesh)),
+         jax.device_put(jnp.asarray(styles),
+                        mesh_lib.image_sharding(mesh)),
+         jax.device_put(jnp.asarray(bm), mesh_lib.mask_sharding(mesh)),
+         jax.device_put(jnp.asarray(bm), mesh_lib.mask_sharding(mesh)))
+    consts, cs, sm = pbatch.prepare_batch_stage(
+        *b, p, (size, size), cfg.prepare_config())
+    images = jax.vmap(lambda c, m: optimize.init_image(cfg, c, m))(cs, sm)
+    hists = {}
+    for name in ("nd", "pallas"):
+        c = dataclasses.replace(cfg, s2d_gram=name)
+        _, hist = pbatch.run_batch(images, consts, weights, p,
+                                   c.loop_config(), 3)
+        hists[name] = np.asarray(hist)
+    np.testing.assert_allclose(hists["pallas"], hists["nd"], rtol=2e-5)
+
+
+def test_batch_s2d_gram_routing():
+    """stylize_batch resolves s2d_gram="auto" -> "pallas" on a 1-device
+    mesh (the measured batch-regime winner) and -> "nd" on multi-device
+    meshes (spmd_safe: custom calls don't partition). Pin the routing by
+    capturing the cfg run_batch receives."""
+    import dpst_tpu
+    from dpst_tpu.parallel import batch as pbatch
+    from dpst_tpu.parallel import mesh as mesh_lib
+
+    r = np.random.default_rng(5)
+    B, size = 2, 24
+    contents = r.uniform(0, 255, (B, size, size, 3)).astype(np.float32)
+    styles = r.uniform(0, 255, (B, size, size, 3)).astype(np.float32)
+    bm = np.ones((B, 1, size, size), np.float32)
+    seen = {}
+    real = pbatch.run_batch
+
+    def spy(*args, **kw):
+        seen["s2d_gram"] = args[4].s2d_gram
+        return real(*args, **kw)
+
+    cfg = _cfg(max_classes=1, iterations=2)
+    try:
+        pbatch.run_batch = spy
+        pbatch.stylize_batch(contents, styles, bm, bm, cfg=cfg,
+                             mesh=mesh_lib.make_mesh(1))
+        assert seen["s2d_gram"] == "pallas"
+        pbatch.stylize_batch(contents, styles, bm, bm, cfg=cfg,
+                             mesh=mesh_lib.make_mesh(2))
+        assert seen["s2d_gram"] == "nd"
+    finally:
+        pbatch.run_batch = real

@@ -212,13 +212,14 @@ def test_stream12_conv2_dot_full_loss(setup):
 
 def test_stream12_k4_gate_is_per_strip(setup, monkeypatch):
     """The K4 matmul-dx gate inside the stream12 scan reads PER-STRIP
-    pixels (k4_px at the _block1_s2d call site), not full-image pixels
-    (VERDICT r4 weak #3): at 4096² the 144-row strips sit far below the
-    image-level crossover while the emitter's space-to-batch dx costs
-    ~26 ms/step. Pin (a) the gate unit — with the threshold set BETWEEN
-    strip px and image px, the matmul path must activate — and (b) the
-    exactness of both gate sides against the standard full-tensor
-    path."""
+    pixels against its own scan-context crossover (k4_px/k4_max at the
+    _block1_s2d call site — VERDICT r4 weak #3; the round-5 chip A/B
+    measured that crossover at 0, i.e. the emitter dx wins in-scan:
+    1.402 vs 1.419 it/s @4096²). Pin (a) the gate unit — with the STRIP
+    threshold set BETWEEN strip px and image px, the matmul path must
+    activate (a full-image gate would not) — and (b) the exactness of
+    both gate sides against the standard full-tensor path, including
+    the production default (strip crossover 0 -> emitter)."""
     content, cfg, consts, weights, params = setup
     t0, terms0, g0 = _value_grad(cfg, content, consts, weights, params)
     cfg_s = dataclasses.replace(cfg, stream12=3, block1_impl="s2d")
@@ -236,14 +237,15 @@ def test_stream12_k4_gate_is_per_strip(setup, monkeypatch):
 
     monkeypatch.setattr(vgg, "_k4_conv", counting_k4)
 
-    # threshold between strip and image px: a per-strip gate takes the
-    # matmul path, the old full-image gate would not.
+    # STRIP threshold between strip and image px: a per-strip gate takes
+    # the matmul path, a full-image gate would not.
     # stream_block12_grams is itself @jax.jit — the gate constant isn't
     # in its cache key, so each threshold change must drop the cached
     # jaxpr or the spy sees a stale program (same mechanism the chip
-    # campaign's A/B handles with clear_caches — CLAUDE.md rule 7's
-    # inverse: a silent NON-retrace)
-    monkeypatch.setattr(vgg, "_K4_MATMUL_BWD_MAX", (strip_px + img_px) // 2)
+    # campaign's A/B handles with clear_caches — CLAUDE.md rule 12:
+    # a silent NON-retrace)
+    monkeypatch.setattr(vgg, "_K4_MATMUL_BWD_MAX_STRIP",
+                        (strip_px + img_px) // 2)
     jax.clear_caches()
     t1, terms1, g1 = _value_grad(cfg_s, content, consts, weights, params)
     assert calls["n"] > 0, "per-strip gate did not route to _k4_conv"
@@ -253,10 +255,11 @@ def test_stream12_k4_gate_is_per_strip(setup, monkeypatch):
     np.testing.assert_allclose(g1, g0, rtol=1e-3,
                                atol=1e-5 * np.abs(g0).max())
 
-    # threshold below strip px: the conv-emitter side of the gate, same
-    # math (the two dx lowerings must agree through the full loss)
+    # the PRODUCTION default (strip crossover 0): the conv-emitter side
+    # of the gate, same math (the two dx lowerings must agree through
+    # the full loss)
     calls["n"] = 0
-    monkeypatch.setattr(vgg, "_K4_MATMUL_BWD_MAX", strip_px // 2)
+    monkeypatch.setattr(vgg, "_K4_MATMUL_BWD_MAX_STRIP", 0)
     jax.clear_caches()
     t2, terms2, g2 = _value_grad(cfg_s, content, consts, weights, params)
     assert calls["n"] == 0, "gate below strip px must use the emitter"

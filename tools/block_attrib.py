@@ -3,17 +3,29 @@
 same executable's optimized HLO (VERDICT r3 item 3).
 
 trace_report.py aggregates by HLO op name (fusion.1005, …); this tool
-goes one level further: it parses the optimized module text (from
-tools/r4_tpu_campaign_b.py), recovers each op's result shape — and for
-fusions the shapes inside the fused computation body — and classifies
-every op into a pipeline segment (vgg block 1-5, gram/loss, laplacian,
-optimizer/image) by its dominant tensor's (width, channels) signature at
-the given input size. MXU time = convolution/dot opcodes (root or fused
-body). No chip needed: pure trace+text parsing.
+goes one level further, with two classifiers joined per op:
 
-Usage: python tools/block_attrib.py TRACE_DIR HLO_TXT STEPS SIZE
+1. SOURCE classifier (primary, round 5): the optimized HLO carries
+   metadata={source_file, source_line} per instruction. The tool parses
+   the repo's own sources with `ast` to recover function line spans and
+   maps each op's (file, line) to the function that emitted it — which
+   names the pipeline stage exactly even where shapes are ambiguous
+   (the stream12 scan's strip tensors used to land in "block3" by
+   shape). Run it from the same checkout that built the HLO.
+2. SHAPE classifier (fallback): each op's result shape — and for
+   fusions the shapes inside the fused computation body — against each
+   block's canonical (spatial, channels) signature at the given input
+   size. Still used for the standard-path conv loop, where one source
+   line serves all five blocks.
+
+MXU time = convolution/dot opcodes (root or fused body). No chip
+needed: pure trace+text parsing.
+
+Usage: python tools/block_attrib.py TRACE_DIR HLO_TXT STEPS SIZE [BATCH]
 """
+import ast
 import collections
+import functools
 import glob
 import gzip
 import json
@@ -27,8 +39,106 @@ _INST = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.-]+) = ")
 _OPCODE = re.compile(r"= (?:\([^)]*\)|[^ ]+) ([a-z][\w-]*)")
 _CALLS = re.compile(r"(?:calls|to_apply)=%?([\w.-]+)")
 _COMP = re.compile(r"^%?([\w.-]+)\s+(?:\([^)]*\))?.*\{\s*$")
+_META = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
 
 MXU_OPS = {"convolution", "dot"}
+
+# --- source classifier (primary): (file, line) -> pipeline segment ------
+# vgg.py functions whose ops are unambiguous regardless of shape; the
+# extract_features/extract_tail conv loops stay with the shape
+# classifier (one source line serves all five blocks there).
+_VGG_FUNC_SEG = {
+    "_block1_s2d": "block1", "_k4_conv": "block1",
+    "_k4_conv_fwd": "block1", "_k4_conv_bwd": "block1",
+    "_s2d_conv": "block1", "_parity_pool": "block1",
+    "_parity_pool_fwd": "block1", "_parity_pool_bwd": "block1",
+    "_s2d_zero_oob": "block1", "s2d_slices_par": "block1",
+    "s2d_masks_par": "block1", "_flat_conv3x3": "scan:block2+feeds",
+    "strip_fwd": "scan:block2+feeds",
+    "pool_strip": "scan:block2+feeds",
+    # the checkpointed strip body's REMAT re-run collapses every op onto
+    # the ckpt_body call line inside scan_body — those ops are split by
+    # the strip-geometry shape classifier instead (see _scan_strip)
+    "scan_body": "?remat", "stream_block12_grams": "scan:stage",
+}
+
+# (hs, halo) of the stream12 strip scan, set from argv when analyzing a
+# streamed program: enables strip-geometry shape signatures for the
+# remat blob whose ops all share the scan_body source line.
+_scan_strip = None
+
+
+def classify_strip(dims, size):
+    """Strip-geometry shape classifier for ops inside the remat blob."""
+    import math
+    hs, halo = _scan_strip
+    if not dims or len(dims) < 2:
+        return "scan:bwd:other"
+    c = dims[-1]
+    n = 1
+    for x in dims[:-1]:
+        n *= x
+    if n <= 0:
+        return "scan:bwd:other"
+    if c <= 4:
+        return "scan:bwd:input"
+    r_half = hs // 2 + halo
+    CAND = [("scan:bwd:block1", (r_half + 1) * (size + 2) / 2, 256),
+            ("scan:bwd:block1", r_half * size / 2, 256),
+            ("scan:bwd:block1", r_half * size / 2, 64),
+            ("scan:bwd:block2", r_half * size / 2, 128),
+            ("scan:bwd:block2", (r_half // 2) * size / 4, 128)]
+    best, best_s = "scan:bwd:other", 1e9
+    for seg, n_c, c_c in CAND:
+        score = (abs(math.log(n / n_c))
+                 + 0.7 * abs(math.log(max(c, 1) / c_c)))
+        if score < best_s:
+            best, best_s = seg, score
+    return best if best_s < math.log(2.5) else "scan:bwd:other"
+
+
+@functools.lru_cache(maxsize=None)
+def _func_spans(path):
+    """((start, end, name) ...) for every def in PATH, innermost-first."""
+    try:
+        with open(path) as f:
+            tree = ast.parse(f.read())
+    except (OSError, SyntaxError):
+        return ()
+    spans = [(n.lineno, n.end_lineno or n.lineno, n.name)
+             for n in ast.walk(tree)
+             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+    spans.sort(key=lambda s: s[1] - s[0])
+    return tuple(spans)
+
+
+def seg_from_src(src):
+    """Pipeline segment for one op's metadata source, or None to fall
+    back to the shape classifier. Requires running from the checkout
+    that built the HLO (line spans come from the current sources)."""
+    if not src:
+        return None
+    path, line = src
+    base = os.path.basename(path)
+    if "optax" in path:
+        return "optimizer/image"
+    if not path.startswith("/root/repo"):
+        return None
+    if base == "vgg.py":
+        fn = next((name for a, b, name in _func_spans(path)
+                   if a <= line <= b), None)
+        return _VGG_FUNC_SEG.get(fn)
+    if base in ("losses.py", "gram_stream.py"):
+        return "gram/loss"
+    if base == "gram_s2d.py":
+        return "gram_s2d"
+    if base.startswith("laplacian"):
+        return "laplacian"
+    if base in ("optimize.py",):
+        return "optimizer/image"
+    if base in ("resize.py", "segmentation.py"):
+        return "mask/resize"
+    return None
 
 
 def parse_hlo(path):
@@ -53,8 +163,11 @@ def parse_hlo(path):
         shapes = [tuple(int(d) for d in s.split(",") if d)
                   for s in _SHAPE.findall(ln.split(" metadata=")[0])]
         body = _CALLS.search(ln)
+        meta = _META.search(ln)
         info = {"opcode": op.group(1) if op else "?",
                 "shapes": shapes,
+                "src": (meta.group(1), int(meta.group(2))) if meta
+                else None,
                 "body": body.group(1) if body else None}
         if info["opcode"] == "custom-call":
             mt = re.search(r'custom_call_target="([^"]*)"', ln)
@@ -116,6 +229,9 @@ def op_segment(name, insts, comp_insts, size):
         return "unmapped", False
     shapes = list(info["shapes"])
     mxu = info["opcode"] in MXU_OPS
+    # source candidates: the MXU op inside a fused body is the most
+    # representative emitter op; the root's metadata is the fallback
+    src = info["src"]
     if info["body"]:
         for sub in comp_insts.get(info["body"], []):
             si = insts.get(sub)
@@ -124,14 +240,32 @@ def op_segment(name, insts, comp_insts, size):
             shapes.extend(si["shapes"])
             if si["opcode"] in MXU_OPS:
                 mxu = True
-    best, best_n = None, -1
-    for d in shapes:
-        n = 1
-        for x in d:
-            n *= x
-        seg = classify(d, size)
-        if seg and n > best_n:
-            best, best_n = seg, n
+                if si["src"]:
+                    src = si["src"]
+    best = seg_from_src(src)
+    if best == "?remat":
+        # the remat blob: one source line for everything — classify by
+        # the dominant tensor's strip-geometry signature when known
+        if _scan_strip:
+            bn = -1
+            best = "scan:bwd:other"
+            for d in shapes:
+                n = 1
+                for x in d:
+                    n *= x
+                if n > bn:
+                    best, bn = classify_strip(d, size), n
+        else:
+            best = "scan:remat+bwd"
+    best_n = -1
+    if best is None:
+        for d in shapes:
+            n = 1
+            for x in d:
+                n *= x
+            seg = classify(d, size)
+            if seg and n > best_n:
+                best, best_n = seg, n
     if info["opcode"] == "custom-call":
         # two Pallas kernels exist in this program family: the Laplacian
         # matvec and the gram_s2d diag-block kernel. Match each by its
@@ -197,6 +331,16 @@ def trace_durations(trace_dir):
 
 
 def main():
+    global _scan_strip
+    argv = list(sys.argv[1:])
+    for i, a in enumerate(argv):
+        # --scan HS HALO: streamed program — enable strip-geometry
+        # signatures for the remat blob (e.g. --scan 128 8 at 4096²)
+        if a == "--scan":
+            _scan_strip = (int(argv[i + 1]), int(argv[i + 2]))
+            argv = argv[:i] + argv[i + 3:]
+            break
+    sys.argv = [sys.argv[0]] + argv
     trace_dir, hlo_path = sys.argv[1], sys.argv[2]
     steps, size = int(sys.argv[3]), int(sys.argv[4])
     # optional 5th arg: batch size B of a vmapped batch-path trace —
