@@ -242,8 +242,9 @@ def main():
         # batch-regime resolution (round 5): the vmapped nd Gram
         # materializes monolithic weighted blocks (2.2× config3's
         # per-pair gram cost); the streamed Pallas kernel vmaps as an
-        # extra grid dim — 175.0 vs 167.7 pair-it/s B=8 (same
-        # resolution stylize_batch/autotune apply on 1-device meshes)
+        # extra grid dim — 175.0 vs 167.7 pair-it/s B=8, then 180.9
+        # with the two-half v2 form (same resolution
+        # stylize_batch/autotune apply on 1-device meshes)
         s2d_gram="pallas")
     vgg_params5 = vgg_mod.get_params(seed=cfg5.seed)
     mesh5 = mesh_lib.make_mesh()

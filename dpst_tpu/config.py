@@ -249,6 +249,10 @@ class StylizeConfig:
             self,
             stream12_remat=s12_remat, stream12_conv2=s12_conv2,
             stream12_impl=s12_impl,
+            # "pallas2" is an alias of "pallas" (both = the round-5
+            # two-half kernel): one program, one jit key (rule 7)
+            s2d_gram=("pallas" if self.s2d_gram == "pallas2"
+                      else self.s2d_gram),
             history_terms=("full" if self.optimizer == "adam"
                            else ("total" if self.history_terms == "auto"
                                  else self.history_terms)),
@@ -396,8 +400,14 @@ class StylizeConfig:
             raise ValueError(f"unknown strip_gram {self.strip_gram!r}")
         if self.block1_impl not in ("auto", "s2d", "conv"):
             raise ValueError(f"unknown block1_impl {self.block1_impl!r}")
-        if self.s2d_gram not in ("auto", "nd", "pallas"):
+        if self.s2d_gram not in ("auto", "nd", "pallas", "pallas1",
+                                 "pallas2"):
             raise ValueError(f"unknown s2d_gram {self.s2d_gram!r}")
+        # "pallas" IS the round-5 two-half kernel ("pallas2" is an
+        # accepted alias, canonicalized in loop_config); "pallas1" keeps
+        # the round-3 full-width diag-block form as a measured-history
+        # opt-in (1024² 48.25 vs 46.29, 2048² 10.79 vs 10.38, B=8 batch
+        # 180.9 vs 175.1 — v2 wins every measured shape).
         # "auto" stays "auto": it resolves BY SIZE at trace time
         # (optimize._s2d_gram_kernel) — the streamed Pallas kernel at
         # h·w ≥ 2^19 (768²+; campaign #13's memory-order feed flipped

@@ -193,6 +193,180 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# --- round-5 v2: two-half diag-block form (s2d_gram="pallas2") ---------
+# The #14 diag-block contraction is FLOP-inflated: per class it computes
+# a (4C, 4C) full-width product of which only the four diagonal (C, C)
+# parity blocks are real — 2·P·4C·K·4C = 137 GF/step of main dots at
+# 1024² K=4 against ~34 GF of useful Gram work, and the kernel measures
+# FLOP-bound at ~75% of MXU peak (412 GF total / 2.8 ms — round-5
+# per-block tables). Splitting the 4C=256 lanes into two FULL-TILE
+# 128-lane halves (parities {0,1} and {2,3} — rule 9: 128-aligned lane
+# slices are legal where 64-lane regrouping is not) halves the garbage:
+# per class and half, one (128, 128) product whose TWO diagonal (C, C)
+# blocks are real — 2·P·128·K·128·2 = 68.7 GF, a 2× cut on the main
+# dots (the m² lane-expansion dots are output-size-bound and stay
+# ~69 GF). Same math, same operands; only e2 is replaced by the
+# per-half expansion constant.
+
+
+def _e2h_const(k: int, c: int, dtype) -> jnp.ndarray:
+    """(2, 128, K·2C) per-half mask-expansion: half h covers parities
+    (2h, 2h+1) as lane groups g∈{0,1}; e2h[h, q, j·2C + g·C + c1] = 1
+    iff q = (2h + g)·K + j (m2t's lane packing, unchanged)."""
+    c2 = 2 * c
+    col = jnp.arange(k * c2)
+    j, g = col // c2, (col % c2) // c
+    qe = jnp.arange(_LANE)[None, :, None]
+    h = jnp.arange(2)[:, None, None]
+    return (qe == ((2 * h + g[None, None, :]) * k
+                   + j[None, None, :])).astype(dtype)
+
+
+def _fwd_kernel2(zp_ref, m2t_ref, bias_ref, e2h_ref, out_ref,
+                 *, k: int, c: int):
+    i = pl.program_id(0)
+    cdt = zp_ref.dtype
+    kc2 = k * 2 * c
+    zf = zp_ref[...].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    cooked = jnp.maximum(zf, 0.0).astype(cdt)              # (TRW, 4C)
+    parts = []
+    for h in range(2):
+        ch = cooked[:, h * _LANE:(h + 1) * _LANE]          # full tile
+        m2h = jnp.dot(m2t_ref[...], e2h_ref[h],
+                      preferred_element_type=jnp.float32)  # (TRW, K·2C)
+        cfh = ch.astype(jnp.float32)
+        for j in range(k):
+            wj = (cfh * m2h[:, j * _LANE:(j + 1) * _LANE]).astype(cdt)
+            parts.append(jax.lax.dot_general(
+                ch, wj, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))       # (128, 128)
+    part = jnp.concatenate(parts, axis=0)                  # (2·K·128, 128)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = part
+
+    @pl.when(i > 0)
+    def _acc():
+        out_ref[...] += part
+
+
+def _bwd_kernel2(zp_ref, m2t_ref, bias_ref, wall_ref, e2h_ref, df_ref,
+                 *, k: int, c: int):
+    zf = zp_ref[...].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    cooked = jnp.maximum(zf, 0.0).astype(zp_ref.dtype)
+    accs = []
+    for h in range(2):
+        ch = cooked[:, h * _LANE:(h + 1) * _LANE]
+        th = jnp.dot(ch, wall_ref[h],
+                     preferred_element_type=jnp.float32)   # (TRW, K·2C)
+        m2h = jnp.dot(m2t_ref[...], e2h_ref[h],
+                      preferred_element_type=jnp.float32)
+        prod = th * m2h
+        acc = prod[:, :_LANE]
+        for j in range(1, k):
+            acc = acc + prod[:, j * _LANE:(j + 1) * _LANE]
+        accs.append(acc)
+    acc_full = jnp.concatenate(accs, axis=1)               # (TRW, 4C)
+    dprime = jnp.where(zf > 0.0, 1.0, jnp.where(zf == 0.0, 0.5, 0.0))
+    df_ref[...] = (acc_full * dprime).astype(df_ref.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gram_s2d2_raw(zp: jnp.ndarray, bias: jnp.ndarray, m2t: jnp.ndarray,
+                   e2h: jnp.ndarray, k: int, c: int) -> jnp.ndarray:
+    """v2 of _gram_s2d_raw: (2·K·128, 128) f32 — half h, class j at rows
+    [(h·K + j)·128, ...), whose two diagonal (C, C) lane-group blocks
+    hold the parity-(2h+g) Gram contributions. Same operand contract as
+    v1 (raw zp rows, zero mask weight on halo/garbage/pad)."""
+    out, _ = _gram_s2d2_fwd(zp, bias, m2t, e2h, k, c)
+    return out
+
+
+def _gram_s2d2_fwd(zp, bias, m2t, e2h, k, c):
+    p, c4 = zp.shape
+    trw = _pick_trw(p, k, c4)
+    assert p % trw == 0, (p, trw)
+    kc2 = k * 2 * c
+    out = pl.pallas_call(
+        partial(_fwd_kernel2, k=k, c=c),
+        grid=(p // trw,),
+        in_specs=[
+            pl.BlockSpec((trw, c4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((trw, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _LANE, kc2), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * k * _LANE, _LANE),
+                               lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * k * _LANE, _LANE),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(_VMEM_BUDGET * 1.8)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p * _LANE * k * _LANE * 2
+            + 2 * p * _LANE * kc2 * 2,
+            transcendentals=0,
+            bytes_accessed=(p * c4 + p * _LANE) * zp.dtype.itemsize),
+        interpret=_interpret(),
+    )(zp, m2t, bias, e2h)
+    return out, (zp, bias, m2t, e2h)
+
+
+def _gram_s2d2_bwd(k, c, res, dg):
+    zp, bias, m2t, e2h = res
+    p, c4 = zp.shape
+    cdt = zp.dtype
+    trw = _pick_trw(p, k, c4)
+    # dg: (2·K·128, 128); mask to the two diagonal lane-group blocks of
+    # each (half, class) row band and symmetrize — cross-group garbage
+    # must never leak a cotangent (same rule as v1)
+    dg = dg.astype(jnp.float32).reshape(2, k, 2 * c, 2 * c)
+    dgb = jnp.stack([dg[:, :, g * c:(g + 1) * c, g * c:(g + 1) * c]
+                     for g in range(2)], axis=2)       # (2, K, 2, C, C)
+    s = dgb + jnp.swapaxes(dgb, 3, 4)
+    # wall[h, g·C + c1, j·2C + g·C + c2] = s[h, j, g, c1, c2]
+    w6 = jnp.einsum("hjgab,gq->hgajqb", s, jnp.eye(2, dtype=jnp.float32))
+    wall = w6.reshape(2, 2 * c, k * 2 * c)
+    df = pl.pallas_call(
+        partial(_bwd_kernel2, k=k, c=c),
+        grid=(p // trw,),
+        in_specs=[
+            pl.BlockSpec((trw, c4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((trw, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2 * c, k * 2 * c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _LANE, k * 2 * c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((trw, c4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p, c4), cdt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(_VMEM_BUDGET * 1.8)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * p * _LANE * k * _LANE * 2
+            + 2 * p * _LANE * k * 2 * c * 2,
+            transcendentals=0,
+            bytes_accessed=(2 * p * c4 + p * _LANE) * zp.dtype.itemsize),
+        interpret=_interpret(),
+    )(zp, m2t, bias, wall.astype(cdt), e2h)
+    return (df, jnp.zeros_like(bias), jnp.zeros_like(m2t),
+            jnp.zeros_like(e2h))
+
+
+_gram_s2d2_raw.defvjp(_gram_s2d2_fwd, _gram_s2d2_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _gram_s2d_raw(zp: jnp.ndarray, bias: jnp.ndarray, m2t: jnp.ndarray,
                   e2: jnp.ndarray, k: int, c: int) -> jnp.ndarray:
@@ -333,7 +507,8 @@ def pack_mask_consts(m_parts, nr: int, o0: int, compute_dtype,
 
 def masked_grams_s2d_tap(tap, m2t: jnp.ndarray, e2: jnp.ndarray,
                          nvec: jnp.ndarray,
-                         eps: float = 1e-8) -> jnp.ndarray:
+                         eps: float = 1e-8,
+                         v2: bool = False) -> jnp.ndarray:
     """All K masked Grams of an s2d block-1 tap via the Pallas kernel:
     S2dTap (raw, with bias) × packed mask constants -> (K, C, C),
     normalized like losses.masked_grams_nd_multi over the parity union.
@@ -357,6 +532,15 @@ def masked_grams_s2d_tap(tap, m2t: jnp.ndarray, e2: jnp.ndarray,
     if ppad != p:
         zp = jnp.pad(zp, ((0, ppad - p), (0, 0)))
     bias8 = jnp.broadcast_to(tap.bias.reshape(1, c4), (8, c4))
+    if v2:
+        # two-half diag-block form (round 5): 2× less main-dot work,
+        # same operands; e2h is derived, e2 unused
+        e2h = _e2h_const(k, c, jnp.dtype(d.dtype))
+        raw = _gram_s2d2_raw(zp, bias8, m2t, e2h, k, c)
+        g4 = raw.reshape(2, k, 2 * c, 2 * c)
+        g = sum(g4[h, :, gg * c:(gg + 1) * c, gg * c:(gg + 1) * c]
+                for h in range(2) for gg in range(2))    # (K, C, C)
+        return g / jnp.maximum(nvec, eps)[:, None, None]
     g256 = _gram_s2d_raw(zp, bias8, m2t, e2, k, c)       # (K, 4C, 4C)
     g = sum(g256[:, par * c:(par + 1) * c, par * c:(par + 1) * c]
             for par in range(4))                         # (K, C, C)

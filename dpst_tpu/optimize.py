@@ -145,7 +145,7 @@ def _s2d_gram_kernel(cfg: StylizeConfig, h: int, w: int,
     the kernel keeps the s2d form alive at all (campaign #12, 10.0 vs
     8.58 over the standard-conv fallback). So: kernel at h·w ≥ 2^19
     (768²+) or any non-fused route; nd below."""
-    if cfg.s2d_gram == "pallas":
+    if cfg.s2d_gram in ("pallas", "pallas1", "pallas2"):
         return True
     if (cfg.s2d_gram == "auto" and k is not None
             and jax.default_backend() == "tpu"):
@@ -329,8 +329,12 @@ def make_loss_fn(cfg: StylizeConfig) -> Callable[..., tuple]:
                             # interior slice never exist).
                             from .ops import gram_s2d
                             m2t, e2, nvec = kc
+                            # the round-5 two-half kernel is THE kernel
+                            # ("pallas"/auto); "pallas1" keeps the
+                            # round-3 full-width form as an opt-in
                             g_out[l] = gram_s2d.masked_grams_s2d_tap(
-                                tap, m2t, e2, nvec)
+                                tap, m2t, e2, nvec,
+                                v2=(cfg.s2d_gram != "pallas1"))
                             del feats[l]
                             continue
                         mp = getattr(consts, "s2d_mask_parts", None)

@@ -357,10 +357,15 @@ def test_s2d_gram_kernel_loss_parity(kw):
         return np.asarray(v), np.asarray(g)
 
     v0, g0 = vg("nd")
-    v1, g1 = vg("pallas")
-    np.testing.assert_allclose(v1, v0, rtol=1e-5)
     scale = np.max(np.abs(g0))
-    np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5)
+    # "pallas" = the round-5 two-half kernel (production);
+    # "pallas1" = the round-3 full-width diag-block form (opt-in) —
+    # both must hold value+grad parity against the nd path
+    for variant in ("pallas", "pallas1"):
+        v1, g1 = vg(variant)
+        np.testing.assert_allclose(v1, v0, rtol=1e-5, err_msg=variant)
+        np.testing.assert_allclose(g1 / scale, g0 / scale, atol=1e-5,
+                                   err_msg=variant)
 
 
 def test_s2d_gram_canonicalization():
@@ -368,6 +373,12 @@ def test_s2d_gram_canonicalization():
     assert cfg.prepare_config().s2d_gram == "nd"
     assert cfg.spmd_safe().s2d_gram == "nd"
     assert cfg.loop_config().s2d_gram == "pallas"
+    # "pallas2" is an alias of "pallas" (one program, one jit key)
+    cfg2 = dpst_tpu.StylizeConfig(s2d_gram="pallas2")
+    assert cfg2.loop_config() == cfg.loop_config()
+    # "pallas1" (the round-3 form) is a DISTINCT program
+    assert (dpst_tpu.StylizeConfig(s2d_gram="pallas1").loop_config()
+            != cfg.loop_config())
     # "auto" survives construction: it resolves BY SIZE at trace time
     # (optimize._s2d_gram_kernel) — nd at fused-routed sizes, kernel
     # past the fused block bound (round-3 campaign #12)
