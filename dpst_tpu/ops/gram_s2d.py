@@ -71,6 +71,12 @@ hoist buffers this size when built in-loop).
 SPMD caveat (CLAUDE.md): like every Pallas custom call this does not
 partition under a sharded mesh; sharded paths keep the XLA nd Gram
 (config.spmd_safe canonicalizes s2d_gram="nd").
+
+Round 5: the production kernel is the TWO-HALF v2 form below
+(_fwd_kernel2/_bwd_kernel2, s2d_gram="pallas"/auto) — same operands,
+half the main-dot FLOPs; the #14 full-width form above stays as the
+"pallas1" measured-history opt-in. A/Bs and the derivation live at the
+v2 section comment and ARCHITECTURE.md round-5.
 """
 from __future__ import annotations
 

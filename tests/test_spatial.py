@@ -1,6 +1,8 @@
 """Spatial (row-sharded) stylization ≡ single-device run: XLA SPMD must
 insert correct halo exchanges for the VGG convs + Laplacian stencils
 (SURVEY.md §2 parallelism stretch goal; 8-device virtual CPU mesh)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -132,11 +134,13 @@ def test_image_actually_sharded(pair):
     assert shard_shapes == {(16, 64, 3)}, shard_shapes
 
 
-def test_spatial_memory_scaling():
+def _memscale_256_main():
     """The reason row sharding exists: per-device memory of the compiled
     hot loop must shrink roughly 1/n vs the single-device program
     (compile-time memory analysis — the no-hardware proof that the 4k²+
-    regime fits a sliced mesh; VERDICT r2 missing #5 evidence)."""
+    regime fits a sliced mesh; VERDICT r2 missing #5 evidence).
+    Body of test_spatial_memory_scaling — executed in a FRESH
+    interpreter via _run_fresh (see its docstring for why)."""
     import jax
     import jax.numpy as jnp
     from dpst_tpu import StylizeConfig, optimize, prepare_constants
@@ -178,15 +182,18 @@ def test_spatial_memory_scaling():
     # fixed overheads (VGG params are replicated: ~80 MB fp32) mean the
     # ratio is not 1/8; the ACTIVATION memory must still clearly shrink
     assert sharded < 0.62 * single, (sharded, single)
+    print("MEMSCALE_PASS", sharded, single)
 
 
-def test_spatial_memory_scaling_8192():
+def _memscale_8192_main():
     """The ladder continues past 4096² when hardware exists (VERDICT r3
     item 8): per-device footprint of the row-sharded 8192² full
     deep-photo hot loop must fit a v5e-class chip (16 GiB HBM) on an
     8-way mesh, while the single-device program clearly cannot. Pure
     compile-time memory analysis — abstract ShapeDtypeStruct args via
-    spatial_shardings, no 8192² data ever materializes."""
+    spatial_shardings, no 8192² data ever materializes.
+    Body of test_spatial_memory_scaling_8192 — fresh interpreter via
+    _run_fresh."""
     import jax
     import jax.numpy as jnp
     from dpst_tpu import StylizeConfig, optimize
@@ -251,6 +258,53 @@ def test_spatial_memory_scaling_8192():
     # ARCHITECTURE.md) — projected to TPU layouts the 8-way 8192² shard
     # is ~9 G/chip, inside v5e HBM.
     assert sharded < 0.15 * single, (sharded, single)
+    print("MEMSCALE_PASS", sharded, single)
+
+
+def _run_fresh(func_name: str, timeout: int = 1200):
+    """Run one memory-analysis proof in a FRESH interpreter.
+
+    Both proofs compile very large programs through XLA:CPU's
+    memory-analysis path. Twice in round 5 the FULL suite — and only
+    the full suite — segfaulted inside `backend_compile_and_load` at
+    exactly this point after ~240 green tests, while every subset
+    passes (this file solo: 9/9 in 106 s; sharding+spatial pair 19/19;
+    the whole second half, 70 tests, green). That is an XLA-internal
+    compile crash dependent on long-process accumulated state, not on
+    these programs — which a fresh process compiles deterministically.
+    Subprocess isolation makes the proof independent of suite order and
+    keeps the suite's peak in-process state bounded."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    here = os.path.abspath(__file__)
+    repo = os.path.dirname(os.path.dirname(here))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import importlib.util\n"
+        f"spec = importlib.util.spec_from_file_location('ts', {here!r})\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        f"m.{func_name}()\n")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "MEMSCALE_PASS" in r.stdout, r.stdout[-2000:]
+
+
+def test_spatial_memory_scaling():
+    _run_fresh("_memscale_256_main")
+
+
+def test_spatial_memory_scaling_8192():
+    _run_fresh("_memscale_8192_main")
 
 
 def test_constants_placement_is_field_explicit(pair):
