@@ -178,3 +178,22 @@ def autotune(content, style, config: StylizeConfig | None = None, *,
         best_gamma=best_gamma, best_image=best_img,
         gammas=np.concatenate(all_gammas),
         scores=np.concatenate(all_scores), images=images)
+
+
+# `import dpst_tpu.autotune` rebinds the PACKAGE attribute `autotune`
+# from the __init__ wrapper function to this module (Python sets the
+# attr on every submodule import), after which the documented surface
+# `dpst_tpu.autotune(content, style, cfg)` would raise "'module' object
+# is not callable" — observed round 5 the first time a full-suite run
+# survived long enough to order test_autotune before test_weights_e2e.
+# Making the module itself callable keeps BOTH access paths working.
+import sys as _sys
+import types as _types
+
+
+class _CallableAutotuneModule(_types.ModuleType):
+    def __call__(self, *args, **kwargs):
+        return autotune(*args, **kwargs)
+
+
+_sys.modules[__name__].__class__ = _CallableAutotuneModule
